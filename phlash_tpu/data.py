@@ -1,0 +1,501 @@
+"""Data ingestion: genome files -> binned heterozygosity chunk tensors + AFS.
+
+Produces exactly what the device loop consumes: an int8 matrix of
+fixed-size overlapping chunks (values in {-1 missing, 0 hom, 1 het}) and an
+aggregate allele-frequency spectrum.  Capability parity with the reference
+(/root/reference/src/phlash/data.py:22-558) with these TPU-first choices:
+
+* chunk tensors are emitted in a single contiguous int8 array sized for one
+  HBM upload;
+* the psmcfa and VCF text parsers are self-contained (no pysam needed for
+  .psmcfa/.vcf/.vcf.gz; pysam, when installed, is used for .bcf and is
+  preferred for VCF); tskit is optional for tree sequences;
+* interval masking uses plain numpy interval arithmetic (no intervaltree).
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+import re
+from abc import ABC, abstractmethod
+from concurrent.futures import as_completed
+from dataclasses import asdict, dataclass, field
+from typing import Iterable, NamedTuple
+
+import numpy as np
+
+from phlash_tpu.mp import CpuProcessPoolExecutor
+
+logger = logging.getLogger(__name__)
+
+
+class ChunkedContig(NamedTuple):
+    chunks: np.ndarray  # int8 (num_chunks, overlap + chunk_size)
+    afs: np.ndarray  # int64 (n - 1,)
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_het_matrix(het_matrix: np.ndarray, overlap: int, chunk_size: int) -> np.ndarray:
+    """Slice each row into overlapping chunks of length overlap+chunk_size.
+
+    Consecutive chunks advance by `chunk_size`, so each chunk's first
+    `overlap` columns replay the tail of its predecessor — the warmup prefix
+    used to localize the filtering distribution (see model.log_density).
+    Padding with -1 (missing) keeps shapes static.
+    (layout contract as in reference data.py:37-61; verified by
+    tests/test_data.py chunker invariant)
+    """
+    data = np.ascontiguousarray(het_matrix.clip(-1, 1).astype(np.int8))
+    assert data.ndim == 2
+    N, L = data.shape
+    span = chunk_size + overlap
+    n_chunks = max(1, -(-L // span))
+    L_pad = n_chunks * span
+    padded = np.pad(data, [[0, 0], [0, L_pad - L]], constant_values=-1)
+    view = np.lib.stride_tricks.as_strided(
+        padded,
+        shape=(N, n_chunks, span),
+        strides=(padded.strides[0], padded.strides[1] * chunk_size, padded.strides[1]),
+    )
+    return view.reshape(-1, span).copy()
+
+
+def _mask_to_bool(mask: list[tuple[int, int]] | None, L: int, window: int) -> np.ndarray:
+    "Boolean vector over windows: True where the window overlaps any mask interval."
+    cols = np.zeros(-(-L // window), dtype=bool)
+    for a, b in mask or []:
+        lo = max(0, int(a) // window)
+        hi = min(len(cols), -(-int(b) // window))
+        cols[lo:hi] = True
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# contig types
+# ---------------------------------------------------------------------------
+
+
+class Contig(ABC):
+    @abstractmethod
+    def get_data(self, window_size: int) -> dict[str, np.ndarray]:
+        """Return {'het_matrix': int8 (N, L/w) or None, 'afs': int64 (n-1,) or None}."""
+
+    @property
+    @abstractmethod
+    def N(self):
+        "Number of ploids."
+
+    @property
+    @abstractmethod
+    def L(self):
+        "Sequence length in base pairs."
+
+    @property
+    def size(self):
+        if self.L is None or self.N is None:
+            return None
+        return self.L * self.N
+
+    def to_raw(self, window_size: int) -> "RawContig":
+        "Materialize (useful for pickling after slow parsing)."
+        return RawContig(**self.get_data(window_size), window_size=window_size)
+
+    def to_chunked(self, overlap: int, chunk_size: int, window_size: int = 100) -> ChunkedContig:
+        d = self.get_data(window_size)
+        ch = None
+        if d["het_matrix"] is not None:
+            ch = chunk_het_matrix(d["het_matrix"], overlap=overlap, chunk_size=chunk_size)
+        return ChunkedContig(chunks=ch, afs=d["afs"])
+
+
+@dataclass(frozen=True)
+class RawContig(Contig):
+    "A contig whose het matrix and AFS are already computed."
+
+    het_matrix: np.ndarray
+    afs: np.ndarray
+    window_size: int
+
+    @classmethod
+    def from_psmcfa_iter(cls, psmcfa_path: str, window_size: int = 100) -> Iterable["RawContig"]:
+        """Parse a PSMC FASTA (.psmcfa) file: 'K' = het window, 'T' = hom,
+        'N' = missing.  Self-contained text parser (handles .gz too)."""
+        for name, seq in _iter_fasta(psmcfa_path):
+            logger.debug("read contig %s from %s", name, psmcfa_path)
+            arr = np.frombuffer(seq.encode(), dtype="S1")
+            data = (arr == b"K").astype(np.int8)
+            data[arr == b"N"] = -1
+            yield cls(het_matrix=data[None], afs=np.ones(1), window_size=window_size)
+
+    @property
+    def N(self):
+        # one row per diploid pair => two ploids per row
+        return None if self.het_matrix is None else 2 * self.het_matrix.shape[0]
+
+    @property
+    def L(self):
+        if self.het_matrix is None:
+            return None
+        return self.het_matrix.shape[1] * self.window_size
+
+    def get_data(self, window_size: int):
+        if window_size != self.window_size:
+            raise ValueError(
+                f"contig was built with window_size={self.window_size}, "
+                f"requested {window_size}"
+            )
+        return asdict(self)
+
+
+def _iter_fasta(path: str):
+    "Minimal FASTA reader yielding (name, sequence) pairs."
+    opener = gzip.open if path.endswith(".gz") else open
+    name, parts = None, []
+    with opener(path, "rt") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    yield name, "".join(parts)
+                name, parts = line[1:].split()[0], []
+            else:
+                parts.append(line)
+        if name is not None:
+            yield name, "".join(parts)
+
+
+@dataclass(frozen=True)
+class TreeSequenceContig(Contig):
+    """Data from a tskit tree sequence (optional dependency).
+
+    Args:
+        ts: tskit.TreeSequence
+        nodes: list of (node1, node2) pairs, one diploid each; default all
+            individuals.
+        mask: list of (a, b) intervals to exclude.
+    """
+
+    ts: object
+    nodes: list[tuple[int, int]] = None
+    mask: list[tuple[int, int]] = None
+
+    def __post_init__(self):
+        try:
+            assert isinstance(self._nodes, list)
+            for pair in self._nodes:
+                assert isinstance(pair, tuple) and len(pair) == 2
+                for n in pair:
+                    int(n)
+        except (AssertionError, TypeError, ValueError):
+            raise ValueError(
+                "nodes must be a list of (node1, node2) leaf-id tuples, one "
+                "tuple per analyzed diploid"
+            )
+
+    @property
+    def _nodes(self):
+        if self.nodes is not None:
+            return self.nodes
+        return [tuple(i.nodes) for i in self.ts.individuals()]
+
+    @property
+    def N(self):
+        return 2 * len(self._nodes)
+
+    @property
+    def L(self):
+        return int(self.ts.get_sequence_length())
+
+    def get_data(self, window_size: int):
+        mask = self.mask or []
+        # complement of the mask as sorted disjoint breakpoints
+        bp, keep = _mask_breakpoints(mask, self.L)
+        nodes_flat = sorted({x for pair in self._nodes for x in pair})
+        afs = self.ts.allele_frequency_spectrum(
+            sample_sets=[nodes_flat], windows=bp, polarised=True, span_normalise=False
+        )[keep].sum(0)[1:-1]
+        het_matrix = _read_ts(self.ts, self._nodes, window_size)
+        het_matrix[:, _mask_to_bool(mask, self.L, window_size)] = -1
+        return dict(afs=afs, het_matrix=het_matrix)
+
+
+def _mask_breakpoints(mask: list[tuple[int, int]], L: int):
+    """Return (breakpoints, keep) where breakpoints tile [0, L] and keep[i]
+    marks intervals NOT covered by the mask."""
+    events = sorted({0, L} | {int(x) for a, b in mask for x in (a, b) if 0 <= x <= L})
+    bp = np.array(events, dtype=float)
+    mids = (bp[:-1] + bp[1:]) / 2
+    covered = np.zeros(len(mids), dtype=bool)
+    for a, b in mask:
+        covered |= (mids >= a) & (mids < b)
+    return bp, ~covered
+
+
+def _read_ts(ts, nodes, window_size: int, progress: bool = False) -> np.ndarray:
+    "Windowed heterozygote counts for each diploid pair from a tree sequence."
+    nodes_flat = sorted({x for pair in nodes for x in pair})
+    idx = np.array([[nodes_flat.index(x) for x in pair] for pair in nodes])
+    N = len(nodes)
+    L = int(np.ceil(ts.get_sequence_length() / window_size))
+    G = np.zeros([N, L], dtype=np.int8)
+    iterator = ts.variants(samples=nodes_flat, copy=False)
+    if progress:
+        import tqdm.auto as tqdm
+
+        iterator = tqdm.tqdm(iterator, total=ts.num_sites, desc="Reading tree sequence")
+    for v in iterator:
+        g = v.genotypes[idx]
+        G[:, int(v.position / window_size)] += g[:, 0] != g[:, 1]
+    return G
+
+
+# ---------------------------------------------------------------------------
+# VCF
+# ---------------------------------------------------------------------------
+
+_GT_RE = re.compile(r"([0-9.]+)[/|]([0-9.]+)")
+
+
+def _iter_vcf_text(path: str, contig: str, start: int, end: int, samples: list[str]):
+    """Minimal VCF text parser ('.vcf' / '.vcf.gz'), yielding per-record
+    dicts {'pos', 'het' int8 (S,), 'nd' int}.  Used when pysam is absent."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as fh:
+        cols = None
+        for line in fh:
+            if line.startswith("##"):
+                continue
+            if line.startswith("#CHROM"):
+                header = line.rstrip("\n").split("\t")
+                all_samples = header[9:]
+                missing = set(samples) - set(all_samples)
+                if missing:
+                    raise ValueError(f"samples not found in the vcf: {missing}")
+                cols = [9 + all_samples.index(s) for s in samples]
+                continue
+            if cols is None:
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if fields[0] != contig:
+                continue
+            pos = int(fields[1])
+            if pos < start or pos > end:
+                continue
+            fmt = fields[8].split(":")
+            try:
+                gt_i = fmt.index("GT")
+            except ValueError:
+                continue
+            het = np.zeros(len(samples), dtype=np.int8)
+            nd = 0
+            for i, ci in enumerate(cols):
+                m = _GT_RE.match(fields[ci].split(":")[gt_i])
+                if not m or "." in m.groups():
+                    het[i] = -1
+                    continue
+                a, b = (int(g) for g in m.groups())
+                het[i] = a != b
+                nd += (a != 0) + (b != 0)
+            yield dict(pos=pos, het=het, nd=nd)
+
+
+def _iter_vcf_pysam(path: str, contig: str, start: int, end: int, samples: list[str]):
+    import pysam
+
+    vcf = pysam.VariantFile(path)
+    vcf.subset_samples(samples)
+    for rec in vcf.fetch(contig=contig, start=start, stop=end):
+        het = np.zeros(len(samples), dtype=np.int8)
+        nd = 0
+        for i, s in enumerate(samples):
+            gt = rec.samples[s]["GT"]
+            if gt is None or None in gt:
+                het[i] = -1
+            else:
+                het[i] = gt[0] != gt[1]
+            nd += sum(g != 0 and g is not None for g in gt)
+        yield dict(pos=rec.pos, het=het, nd=nd)
+
+
+@dataclass(frozen=True)
+class VcfContig(Contig):
+    """Data from a VCF/BCF file restricted to one region.
+
+    Args:
+        vcf_file: path to a .vcf, .vcf.gz or .bcf file (.bcf needs pysam)
+        samples: sample ids to include
+        contig: contig (chromosome) name
+        interval: (start, end) positions
+    """
+
+    vcf_file: str
+    samples: list[str]
+    contig: str
+    interval: tuple[int, int]
+    mask: list[tuple[int, int]] = None
+    _allow_empty_region: bool = field(repr=False, default=False)
+
+    def __post_init__(self):
+        if self.mask is not None:
+            raise NotImplementedError(
+                "masking is not implemented for VCFs; pre-filter with "
+                "vcftools/bcftools instead"
+            )
+        if not self._allow_empty_region:
+            if not self.contig:
+                raise ValueError("a contig name must be given for VCF input")
+            if self.interval[0] >= self.interval[1]:
+                raise ValueError("interval must satisfy start < end")
+        if not self.samples:
+            raise ValueError("no samples were provided")
+        if not all(isinstance(s, str) for s in self.samples):
+            raise ValueError("samples must be a list of string ids")
+
+    @property
+    def N(self):
+        return 2 * len(self.samples)
+
+    @property
+    def L(self):
+        return self.interval[1] - self.interval[0]
+
+    def _records(self, start, end):
+        if self.vcf_file.endswith(".bcf"):
+            return _iter_vcf_pysam(self.vcf_file, self.contig, start, end, self.samples)
+        try:
+            import pysam  # noqa: F401  (prefer pysam when present: faster fetch)
+
+            return _iter_vcf_pysam(self.vcf_file, self.contig, start, end, self.samples)
+        except ImportError:
+            return _iter_vcf_text(self.vcf_file, self.contig, start, end, self.samples)
+
+    def get_data(self, window_size: int = 100) -> dict[str, np.ndarray]:
+        start, end = self.interval
+        L = end - start + 1
+        S = len(self.samples)
+        afs = np.zeros(2 * S + 1, dtype=np.int64)
+        H = np.zeros([S, L // window_size], dtype=bool)
+        for rec in self._records(start, end):
+            col = min(H.shape[1] - 1, (rec["pos"] - start) // window_size)
+            H[:, col] |= rec["het"] > 0
+            afs[rec["nd"]] += 1
+        return dict(het_matrix=H.astype(np.int8), afs=afs[1:-1])
+
+
+# ---------------------------------------------------------------------------
+# factory + batched preparation
+# ---------------------------------------------------------------------------
+
+
+def contig(src, samples=None, region: str = None) -> Contig:
+    """Build a Contig from a path (VCF/BCF/tree-sequence/psmcfa) or an
+    in-memory tskit.TreeSequence.
+
+    VCF inputs require region="chr:start-end"; tree sequences take node-pair
+    samples and no region.  (reference factory: data.py:401-477)
+    """
+    if isinstance(src, str) and any(src.endswith(x) for x in (".vcf", ".vcf.gz", ".bcf")):
+        if region is None or not re.match(r"\w+:\d+-\d+", region):
+            raise ValueError(
+                'VCF input requires a bcftools-style region, e.g. "chr1:1000-5000"'
+            )
+        chrom, span = region.split(":")
+        a, b = map(int, span.split("-"))
+        try:
+            return VcfContig(src, samples=samples, contig=chrom, interval=(a, b))
+        except Exception as e:
+            raise ValueError(f"loading {src} as VCF failed") from e
+
+    ts = None
+    if isinstance(src, str) and (src.endswith(".trees") or src.endswith(".ts")):
+        import tskit
+
+        ts = tskit.load(src)
+    elif isinstance(src, str) and (src.endswith(".tsz") or src.endswith(".tszip")):
+        import tszip
+
+        ts = tszip.decompress(src)
+    elif not isinstance(src, str):
+        ts = src  # assume an in-memory tree sequence
+    if ts is None:
+        raise ValueError(f"unrecognized input: {src}")
+    if region is not None:
+        raise ValueError(
+            "regions are not supported for tree sequences; use "
+            "TreeSequence.keep_intervals() first"
+        )
+    return TreeSequenceContig(ts, nodes=samples)
+
+
+def subsample_chrom(chrom_path: str, populations: tuple[int, ...]):
+    "Convenience: load a tszip chromosome and keep diploids from given populations."
+    import tszip
+
+    ts = tszip.decompress(chrom_path)
+    nodes = [
+        tuple(ind.nodes)
+        for ind, pop in zip(ts.individuals(), ts.individual_populations)
+        if pop in populations
+    ]
+    flat = [x for pair in nodes for x in pair]
+    assert flat
+    ts, remap = ts.simplify(samples=flat, map_nodes=True)
+    nodes = [(remap[a], remap[b]) for a, b in nodes]
+    pos = ts.tables.sites.position
+    ts = ts.keep_intervals([[pos.min(), pos.max()]]).trim()
+    return contig(ts, samples=nodes)
+
+
+def init_mcmc_data(
+    data: list[Contig],
+    window_size: int,
+    overlap: int,
+    chunk_size: int = None,
+    max_samples: int = 20,
+    num_workers: int = None,
+):
+    """Chunk all contigs in parallel; return (summed AFS, stacked chunks).
+
+    chunk_size defaults to ~1/5 of the shortest contig (in windows).
+    """
+    if all(ds.L is None for ds in data):
+        raise ValueError("none of the contigs have a length")
+    if chunk_size is None:
+        chunk_size = int(min(0.2 * ds.L / window_size for ds in data if ds.L))
+    if chunk_size < 10 * overlap:
+        logger.warning(
+            "chunk size %d is less than 10x the overlap (%d)", chunk_size, overlap
+        )
+    afss, chunk_blocks = [], []
+    if num_workers == 1 or len(data) == 1:
+        results = [
+            ds.to_chunked(overlap=overlap, chunk_size=chunk_size, window_size=window_size)
+            for ds in data
+        ]
+    else:
+        with CpuProcessPoolExecutor(num_workers) as pool:
+            futs = [
+                pool.submit(
+                    ds.to_chunked,
+                    overlap=overlap,
+                    chunk_size=chunk_size,
+                    window_size=window_size,
+                )
+                for ds in data
+            ]
+            results = [f.result() for f in futs]
+    for d in results:
+        if d.afs is not None:
+            afss.append(d.afs)
+        if d.chunks is not None:
+            chunk_blocks.append(d.chunks)
+    assert len({a.shape for a in afss}) == 1, "all AFS must have the same dimension"
+    assert len({ch.shape[-1] for ch in chunk_blocks}) == 1
+    return np.sum(afss, 0), np.concatenate(chunk_blocks, 0)

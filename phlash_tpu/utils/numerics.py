@@ -1,0 +1,48 @@
+"""Numerically careful primitives shared across the coalescent math core.
+
+TPU note: the framework runs float32 end-to-end on device (the reference
+enables global x64, /root/reference/src/phlash/__init__.py:16, which would be
+emulated and slow on TPU).  Long log-likelihood accumulations therefore use
+Kahan compensation (`kahan_add`) instead of falling back to float64.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def softplus_inv(y):
+    """Inverse of softplus for y > 0: log(exp(y) - 1), stable for large y.
+
+    (reference: /root/reference/src/phlash/util.py:49-51)
+    """
+    return y + jnp.log1p(-jnp.exp(-y))
+
+
+def expm1inv(x):
+    """Compute 1/expm1(x) without overflow for large x.
+
+    For x > ~10, expm1(x) ~ e^x overflows gradients; rewrite as
+    e^-x / (1 - e^-x) = -e^-x / expm1(-x).
+    (reference: /root/reference/src/phlash/size_history.py:17-22)
+    """
+    big = x > 10.0
+    x_lo = jnp.where(big, 1.0, x)  # safe operand for the small-x branch
+    return jnp.where(big, -jnp.exp(-x) / jnp.expm1(-x), 1.0 / jnp.expm1(x_lo))
+
+
+def kahan_add(sum_and_comp, x):
+    """One step of Kahan (compensated) summation.
+
+    Args:
+        sum_and_comp: tuple (s, c) of running sum and running compensation.
+        x: value(s) to add.
+
+    Returns:
+        Updated (s, c).
+    """
+    s, c = sum_and_comp
+    y = x - c
+    t = s + y
+    c = (t - s) - y
+    return t, c

@@ -1,0 +1,60 @@
+"""Shared fixtures (modeled on /root/reference/tests/conftest.py:14-41).
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware; x64 is enabled so scipy quadrature oracles
+are meaningful.  The env vars must be set before jax is imported.
+"""
+
+import os
+
+# must win over the environment's JAX_PLATFORMS (e.g. a TPU tunnel plugin)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+from phlash_tpu.params import MCMCParams, PSMCParams
+from phlash_tpu.size_history import DemographicModel
+
+
+@pytest.fixture(params=[1, 2, 3])
+def rng(request):
+    return np.random.default_rng(request.param)
+
+
+@pytest.fixture
+def data(rng):
+    "Random Bernoulli(0.05) observations, 10 chunks x 1000 sites."
+    return rng.binomial(1, 0.05, size=(10, 1000)).astype(np.int8)
+
+
+@pytest.fixture
+def dm():
+    return DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
+
+
+@pytest.fixture
+def pp(dm):
+    return PSMCParams.from_dm(dm)
+
+
+@pytest.fixture
+def mcp():
+    return MCMCParams.from_linear(
+        pattern="14*1+1*2",
+        t1=1e-4,
+        tM=15.0,
+        c=np.ones(15),
+        theta=1e-2,
+        rho=1e-2,
+        alpha=0.0,
+        beta=0.0,
+    )

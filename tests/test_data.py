@@ -1,0 +1,118 @@
+"""Data-ingestion tests (cf. reference tests/test_data.py:18-102)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from phlash_tpu.data import (
+    RawContig,
+    VcfContig,
+    chunk_het_matrix,
+    contig,
+    init_mcmc_data,
+)
+
+
+def test_chunk_layout_invariant(rng):
+    "Each chunk's first `overlap` columns replay the previous chunk's tail."
+    H = rng.integers(-1, 2, size=(3, 1234)).astype(np.int8)
+    overlap, chunk_size = 50, 200
+    ch = chunk_het_matrix(H, overlap, chunk_size)
+    span = overlap + chunk_size
+    assert ch.shape[1] == span
+    per_row = ch.shape[0] // 3
+    for r in range(3):
+        row = ch[r * per_row : (r + 1) * per_row]
+        for k in range(per_row):
+            start = k * chunk_size
+            expected = H[r, start : start + span]
+            got = row[k, : len(expected)]
+            np.testing.assert_array_equal(got, expected)
+            # padding is always missing
+            np.testing.assert_array_equal(row[k, len(expected) :], -1)
+
+
+def test_chunker_short_sequence():
+    H = np.zeros((1, 10), dtype=np.int8)
+    ch = chunk_het_matrix(H, overlap=5, chunk_size=20)
+    assert ch.shape == (1, 25)
+    np.testing.assert_array_equal(ch[0, 10:], -1)
+
+
+def _write_psmcfa(path, seqs):
+    with open(path, "w") as f:
+        for name, s in seqs.items():
+            f.write(f">{name}\n")
+            for i in range(0, len(s), 60):
+                f.write(s[i : i + 60] + "\n")
+
+
+def test_psmcfa_parser(tmp_path):
+    p = tmp_path / "sample.psmcfa"
+    _write_psmcfa(p, {"chr1": "TTKKTNNTKT", "chr2": "KKTT"})
+    contigs = list(RawContig.from_psmcfa_iter(str(p), window_size=100))
+    assert len(contigs) == 2
+    np.testing.assert_array_equal(
+        contigs[0].het_matrix[0], [0, 0, 1, 1, 0, -1, -1, 0, 1, 0]
+    )
+    np.testing.assert_array_equal(contigs[1].het_matrix[0], [1, 1, 0, 0])
+    assert contigs[0].N == 2
+    assert contigs[0].L == 1000
+
+
+VCF_TEXT = """##fileformat=VCFv4.2
+##contig=<ID=chr1,length=1000>
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsampleA\tsampleB
+chr1\t10\t.\tA\tT\t.\tPASS\t.\tGT\t0/1\t0/0
+chr1\t150\t.\tG\tC\t.\tPASS\t.\tGT\t1/1\t0/1
+chr1\t151\t.\tG\tC\t.\tPASS\t.\tGT\t0|1\t./.
+chr1\t400\t.\tT\tA\t.\tPASS\t.\tGT\t0/0\t1/1
+"""
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_vcf_parser(tmp_path, gz):
+    p = tmp_path / ("t.vcf.gz" if gz else "t.vcf")
+    if gz:
+        with gzip.open(p, "wt") as f:
+            f.write(VCF_TEXT)
+    else:
+        p.write_text(VCF_TEXT)
+    c = contig(str(p), samples=["sampleA", "sampleB"], region="chr1:1-1000")
+    assert isinstance(c, VcfContig)
+    d = c.get_data(window_size=100)
+    H = d["het_matrix"]
+    assert H.shape == (2, 10)
+    # window 0: pos 10 -> A het; window 1: pos 150/151 -> both het (B has
+    # missing at 151 but het=0/1 at 150); window 3: hom-alt for B only
+    assert H[0, 0] == 1 and H[1, 0] == 0
+    assert H[0, 1] == 1 and H[1, 1] == 1
+    assert H[0, 3] == 0 and H[1, 3] == 0
+    # afs: nd counts 1,3,1(her 0|1 -> 1),... length 2N-1 = 3
+    assert d["afs"].shape == (3,)
+    assert d["afs"].sum() == 4
+
+
+def test_vcf_requires_region(tmp_path):
+    p = tmp_path / "t.vcf"
+    p.write_text(VCF_TEXT)
+    with pytest.raises(ValueError, match="region"):
+        contig(str(p), samples=["sampleA"])
+
+
+def test_init_mcmc_data(rng):
+    contigs = [
+        RawContig(
+            het_matrix=rng.integers(0, 2, size=(2, 5000)).astype(np.int8),
+            afs=np.array([10, 5, 2]),
+            window_size=100,
+        )
+        for _ in range(2)
+    ]
+    afs, chunks = init_mcmc_data(
+        contigs, window_size=100, overlap=100, chunk_size=1000, num_workers=1
+    )
+    np.testing.assert_array_equal(afs, [20, 10, 4])
+    assert chunks.shape[1] == 1100
+    assert chunks.dtype == np.int8

@@ -1,0 +1,50 @@
+"""End-to-end functional tests (cf. reference tests/test_mcmc.py:10-32)."""
+
+import numpy as np
+import pytest
+
+from phlash_tpu.data import RawContig
+from phlash_tpu.mcmc import fit
+from phlash_tpu.sim import constant_demography, simulate_dataset
+from phlash_tpu.size_history import DemographicModel
+
+
+def test_fit_toy_contig():
+    "Tiny fit on a minimal contig: runs, returns the right type and count."
+    het = np.random.default_rng(0).integers(0, 2, size=(1, 2000)).astype(np.int8)
+    c = RawContig(het_matrix=het, afs=np.array([5, 2, 1]), window_size=100)
+    res = fit(
+        [c],
+        niter=3,
+        num_particles=8,
+        overlap=10,
+        chunk_size=200,
+        num_workers=1,
+        progress=False,
+        kernel_backend="dense",
+    )
+    assert len(res) == 8
+    assert all(isinstance(r, DemographicModel) for r in res)
+
+
+@pytest.mark.slow
+def test_fit_simulated_recovers_scale():
+    "Fit on simulated constant-Ne data: posterior should be near the truth."
+    truth = constant_demography(theta=1e-2)
+    contigs, test = simulate_dataset(truth, n_contigs=2, L=50_000, seed=1)
+    res = fit(
+        contigs,
+        test_data=test,
+        niter=50,
+        num_particles=32,
+        overlap=100,
+        chunk_size=2000,
+        num_workers=1,
+        progress=False,
+        kernel_backend="dense",
+    )
+    assert len(res) == 32
+    # the posterior median coalescent rate should be within ~3x of truth
+    med_c = np.median([float(np.median(np.asarray(r.eta.c))) for r in res])
+    true_c = float(np.median(np.asarray(truth.eta.c)))  # theta-scaled units
+    assert 0.2 < med_c / true_c < 5.0

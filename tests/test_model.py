@@ -1,0 +1,53 @@
+"""Model log-density tests (cf. reference tests/test_model.py:8-19)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phlash_tpu.hmm import PureXLAKernel
+from phlash_tpu.model import log_density, log_prior
+from phlash_tpu.ops.kernel_dense import DenseKernel
+
+
+def _density_args(data):
+    S = 3
+    inds = jnp.arange(S)
+    warmup = jnp.asarray(data[:S, :100])
+    afs = jnp.array([100, 40, 20, 10, 5], dtype=jnp.int64)
+    return dict(
+        c=jnp.array([1.0, 1.0, 1.0]),
+        inds=inds,
+        warmup=warmup,
+        afs=afs,
+        afs_transform=None,
+    )
+
+
+def test_log_prior_finite(mcp):
+    assert np.isfinite(float(log_prior(mcp)))
+
+
+def test_log_density_finite(mcp, data):
+    kern = PureXLAKernel(M=16, data=data[:, 100:], double_precision=True)
+    ld = log_density(mcp, kern=kern, **_density_args(data))
+    assert np.isfinite(float(ld))
+
+
+def test_log_density_backends_agree(mcp, data):
+    args = _density_args(data)
+    k1 = PureXLAKernel(M=16, data=data[:, 100:], double_precision=True)
+    k2 = DenseKernel(M=16, data=data[:, 100:], double_precision=True, seg_len=128)
+    v1 = float(log_density(mcp, kern=k1, **args))
+    v2 = float(log_density(mcp, kern=k2, **args))
+    np.testing.assert_allclose(v1, v2, rtol=1e-8)
+    g1 = jax.grad(lambda m: log_density(m, kern=k1, **args))(mcp)
+    g2 = jax.grad(lambda m: log_density(m, kern=k2, **args))(mcp)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-10)
+
+
+def test_log_density_grad_finite(mcp, data):
+    kern = DenseKernel(M=16, data=data[:, 100:], double_precision=True, seg_len=128)
+    g = jax.grad(lambda m: log_density(m, kern=kern, **_density_args(data)))(mcp)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -1,0 +1,120 @@
+"""SizeHistory oracles (cf. reference tests/test_size_history.py:41-160)."""
+
+import numpy as np
+import pytest
+import scipy.integrate
+
+from phlash_tpu.size_history import DemographicModel, SizeHistory, _W_matrix
+
+
+@pytest.fixture
+def eta(rng):
+    K = 8
+    t = np.concatenate([[0.0], np.sort(rng.uniform(0.05, 8.0, K - 1))])
+    c = rng.uniform(0.2, 3.0, K)
+    return SizeHistory(t=t, c=c)
+
+
+def test_density_integrates_to_one(eta):
+    dens = eta.density()
+    t_hi = float(eta.t[-1]) + 60.0 / float(np.min(eta.c))
+    val, _ = scipy.integrate.quad(
+        lambda x: float(dens(x)), 0.0, t_hi, points=list(eta.t), limit=200
+    )
+    np.testing.assert_allclose(val, 1.0, rtol=1e-6)
+
+
+def test_surv_matches_R(eta):
+    "surv()[k] is the survival at the *right* edge t[k+1] (last entry = 0)."
+    np.testing.assert_allclose(
+        np.asarray(eta.surv())[:-1], np.exp(-np.asarray(eta.R(eta.t[1:]))), rtol=1e-10
+    )
+
+
+def test_pi_sums_to_one(eta):
+    np.testing.assert_allclose(float(eta.pi.sum()), 1.0, rtol=1e-10)
+    assert (np.asarray(eta.pi) >= 0).all()
+
+
+def test_ect_vs_quadrature(eta):
+    "E[T | T in interval] from quadrature over the coalescence density."
+    dens = eta.density()
+    surv = np.asarray(eta.surv())
+    ect = np.asarray(eta.ect())
+    t = np.append(np.asarray(eta.t), np.inf)
+    for k in range(eta.K - 1):
+        num, _ = scipy.integrate.quad(lambda x: x * float(dens(x)), t[k], t[k + 1])
+        mass = surv[k - 1] - surv[k] if k > 0 else 1.0 - surv[0]
+        np.testing.assert_allclose(ect[k], num / mass, rtol=1e-6)
+
+
+def test_mu_vs_quadrature(eta):
+    t_hi = float(eta.t[-1]) + 60.0 / float(np.min(eta.c))
+    expected, _ = scipy.integrate.quad(
+        lambda x: float(eta.sf(x)), 0.0, t_hi, points=list(eta.t), limit=200
+    )
+    np.testing.assert_allclose(float(eta.mu), expected, rtol=1e-6)
+
+
+def test_tv_identity(eta):
+    assert abs(float(eta.tv(eta))) < 1e-12
+
+
+def test_tv_vs_quadrature(rng):
+    e1 = SizeHistory(t=np.array([0.0, 1.0]), c=np.array([1.0, 2.0]))
+    e2 = SizeHistory(t=np.array([0.0, 0.5]), c=np.array([0.7, 1.3]))
+    n = 1
+    c = 2 * n * (2 * n - 1) / 2
+    d1 = SizeHistory(t=e1.t, c=c * e1.c).density()
+    d2 = SizeHistory(t=e2.t, c=c * e2.c).density()
+    expected, _ = scipy.integrate.quad(
+        lambda x: 0.5 * abs(float(d1(x)) - float(d2(x))),
+        0,
+        80.0,
+        points=[0.5, 1.0],
+        limit=500,
+    )
+    np.testing.assert_allclose(float(e1.tv(e2, n)), expected, rtol=1e-5)
+
+
+def test_W_matrix_sanity():
+    "Constant population: expected SFS proportional to 1/b (Fu 1995)."
+    n = 10
+    eta = SizeHistory(t=np.array([0.0]), c=np.array([1.0]))
+    etbl = np.asarray(eta.etbl(n))
+    b = np.arange(1, n)
+    np.testing.assert_allclose(etbl, 2.0 / b, rtol=1e-6)
+
+
+def test_W_matrix_shape():
+    assert _W_matrix(2).shape == (1, 1)
+    assert _W_matrix(10).shape == (9, 9)
+
+
+def test_etjj_constant_pop():
+    "E[t_jj] = 2/(j(j-1)) for constant unit coalescent."
+    eta = SizeHistory(t=np.array([0.0]), c=np.array([1.0]))
+    j = np.arange(2, 8)
+    np.testing.assert_allclose(np.asarray(eta.etjj(7)), 2.0 / (j * (j - 1)), rtol=1e-8)
+
+
+def test_quantile_balance(eta):
+    q = eta.quantile(0.5)
+    np.testing.assert_allclose(float(eta.cdf(q)), 0.5, atol=1e-6)
+
+
+def test_rescale_roundtrip(dm):
+    mu = 1.4e-8
+    scaled = dm.rescale(mu)
+    assert scaled.theta == mu
+    # coalescence mass is invariant under rescaling
+    np.testing.assert_allclose(
+        np.asarray(scaled.eta.pi), np.asarray(dm.eta.pi), rtol=1e-8
+    )
+
+
+def test_from_pmf_roundtrip():
+    t = np.array([0.0, 0.5, 1.0, 2.0])
+    eta = SizeHistory(t=t, c=np.array([0.8, 1.6, 0.4, 1.0]))
+    eta2 = SizeHistory.from_pmf(t, np.asarray(eta.pi))
+    np.testing.assert_allclose(np.asarray(eta2.c[:-1]), np.asarray(eta.c[:-1]), rtol=1e-6)

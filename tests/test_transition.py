@@ -1,0 +1,57 @@
+"""Transition-matrix oracles (cf. reference tests/test_transition.py:21-48)."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.integrate
+import scipy.linalg
+
+from phlash_tpu.size_history import DemographicModel, SizeHistory
+from phlash_tpu.transition import expQ, q_s, transition_matrix
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_expQ_vs_scipy_expm(rng, n):
+    r = rng.uniform(0.01, 2.0)
+    c = rng.uniform(0.1, 3.0)
+    Q = np.array(
+        [
+            [-r, r, 0.0],
+            [c, -(n * c), (n - 1) * c],
+            [0.0, 0.0, 0.0],
+        ]
+    )
+    expected = scipy.linalg.expm(Q)
+    np.testing.assert_allclose(np.asarray(expQ(r, c, n)), expected, rtol=1e-8, atol=1e-12)
+
+
+def test_expQ_small_u():
+    "Series branch for tiny eigenvalue gap must stay finite with gradients."
+    g = jax.grad(lambda r: expQ(r, r / 2.0, 2)[0, 1])(1e-9)
+    assert np.isfinite(float(g))
+
+
+def test_rows_sum_to_one(dm):
+    A = np.asarray(transition_matrix(dm))
+    np.testing.assert_allclose(A.sum(1), 1.0, rtol=1e-6)
+    assert (A >= 0).all()
+
+
+def test_rows_sum_to_one_variable(rng):
+    M = 16
+    t = np.concatenate([[0.0], np.sort(rng.uniform(1e-3, 10.0, M - 1))])
+    c = rng.uniform(0.2, 4.0, M)
+    dm = DemographicModel(eta=SizeHistory(t=t, c=c), theta=1e-2, rho=1.3e-2)
+    A = np.asarray(transition_matrix(dm))
+    np.testing.assert_allclose(A.sum(1), 1.0, rtol=1e-5)
+
+
+def test_q_s_integrates_to_one(dm):
+    "Continuous density + atom must integrate to 1 (quadrature oracle)."
+    s = 1.0
+    q, atom = q_s(eta=dm.eta, s=s, r=0.02)
+    t_hi = float(dm.eta.t[-1]) + 60.0 / float(np.min(np.asarray(dm.eta.c)))
+    val, _ = scipy.integrate.quad(
+        lambda t: float(q(t)), 0.0, t_hi, points=list(dm.eta.t) + [s], limit=300
+    )
+    np.testing.assert_allclose(val + float(atom), 1.0, rtol=1e-5)
