@@ -1,0 +1,84 @@
+"""Benchmark: HMM forward+gradient throughput at the reference workload.
+
+Workload (from BASELINE.json / SURVEY.md §6): M=16 TMRCA states, B=500 SVGD
+particles, minibatch of S=5 chunks, float32 — the shape of one SVGD
+gradient step's dominant term.  Metric: Msites/sec/chip for the
+value-and-gradient pass (sites = B * S * L observation columns).
+
+Baseline: the reference's portable kernel semantics — the per-site
+rematerialized O(M) `lax.scan` forward (reference src/phlash/hmm.py:68-82,
+its fallback on any non-CUDA hardware) differentiated by JAX — measured on
+the SAME chip.  (The reference publishes no numbers and its CUDA kernel
+cannot run here; BASELINE.md directs that baselines be measured, not
+copied.)
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "Msites/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _measure(grad_fn, pps, sites: int, reps: int = 3) -> float:
+    jax.block_until_ready(grad_fn(pps))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(grad_fn(pps))
+        best = min(best, time.perf_counter() - t0)
+    return sites / best / 1e6
+
+
+def main():
+    from phlash_tpu.hmm import PureXLAKernel
+    from phlash_tpu.kernel import get_kernel
+    from phlash_tpu.params import PSMCParams
+    from phlash_tpu.size_history import DemographicModel
+
+    B, S, L = 500, 5, 5_000
+    L_base = 1_000  # the scan baseline is slow; measure it on fewer sites
+    rng = np.random.default_rng(0)
+    data = rng.binomial(1, 0.05, size=(max(8, S), L)).astype(np.int8)
+    dm = DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
+    pp = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm))
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp)
+    inds = jnp.arange(S)
+
+    # --- our kernel (auto-selected for the platform) ---
+    kern = get_kernel(M=16, data=data)
+
+    def loss(p):
+        return kern.loglik_batched(p, inds).sum()
+
+    ours = _measure(jax.jit(jax.grad(loss)), pps, B * S * L)
+
+    # --- reference-equivalent scan kernel, same chip ---
+    base_kern = PureXLAKernel(M=16, data=data[:, :L_base])
+
+    def base_loss(p):
+        per = jax.vmap(base_kern.loglik, (0, 0))
+        return jax.vmap(per, (0, None))(p, inds).sum()
+
+    base = _measure(jax.jit(jax.grad(base_loss)), pps, B * S * L_base)
+
+    print(
+        json.dumps(
+            {
+                "metric": "HMM fwd+grad throughput (M=16, B=500, S=5, f32)",
+                "value": round(ours, 1),
+                "unit": "Msites/sec",
+                "vs_baseline": round(ours / base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

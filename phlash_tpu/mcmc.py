@@ -7,13 +7,15 @@ filtering, the (particles x chunks) likelihood + gradient, and the SVGD
 update entirely on device — there is no host callback, no host-side
 minibatch gather, and no per-step HtoD traffic.  Data is uploaded once; the
 Python loop only advances the PRNG key, checks finiteness, and handles
-early stopping / callbacks.
+early stopping / callbacks.  Pass `mesh=` (a jax.sharding.Mesh from
+phlash_tpu.parallel.make_mesh) to shard particles and chunk data over
+multiple chips.
 
 Options (same vocabulary as the reference): key, niter, window_size,
 overlap, chunk_size, max_samples, num_workers, mutation_rate, truth,
 elpd_cutoff, afs_transform, minibatch_size, init, theta, t1, tM,
 rho_over_theta, alpha, beta, sigma, num_particles, learning_rate,
-double_precision, callback, progress, kernel_backend, checkpoint_path.
+double_precision, callback, progress; plus kernel_backend, pattern, mesh.
 """
 
 from __future__ import annotations
@@ -23,17 +25,15 @@ import logging
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax.flatten_util import ravel_pytree
 
-from phlash_tpu.afs import default_afs_transform
 from phlash_tpu.data import Contig, init_mcmc_data
 from phlash_tpu.kernel import get_kernel
 from phlash_tpu.model import log_density
 from phlash_tpu.params import MCMCParams
 from phlash_tpu.size_history import DemographicModel
-from phlash_tpu.svgd import SVGD
-from phlash_tpu.utils import Pattern, tree_unstack
+from phlash_tpu.training import build_training
+from phlash_tpu.utils import tree_unstack
 
 logger = logging.getLogger(__name__)
 
@@ -54,141 +54,64 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     key = options.get("key", jax.random.PRNGKey(1))
     niter = options.get("niter", 1000)
     window_size = options.get("window_size", 100)
-    # overlap: number of leading columns of each chunk used only to localize
-    # the filtering distribution (sequence-parallelism correction)
+    # overlap: leading chunk columns used only to localize the filtering
+    # distribution (the sequence-parallelism correction)
     overlap = options.get("overlap", 500)
-    chunk_size = options.get("chunk_size")
-    max_samples = options.get("max_samples", 20)
-    num_workers = options.get("num_workers")
 
     logger.info("loading data")
     afs, chunks = init_mcmc_data(
-        data, window_size, overlap, chunk_size, max_samples, num_workers
+        data,
+        window_size,
+        overlap,
+        options.get("chunk_size"),
+        options.get("max_samples", 20),
+        options.get("num_workers"),
     )
     del data
 
-    mutation_rate = options.get("mutation_rate")
-    if options.get("truth"):
-        if mutation_rate:
-            raise ValueError("mutation rate is already known from truth")
-        mutation_rate = options["truth"].theta
-    elpd_cutoff = options.get("elpd_cutoff", 100)
-
-    if options.get("afs_transform") is not None:
-        afs_transform = options["afs_transform"]
-    else:
-        afs_transform = default_afs_transform(afs) if afs is not None else None
-    if afs_transform is not None:
-        afs_transform = jnp.asarray(afs_transform, dtype=jnp.float32)
-    if afs is not None:
-        afs = jnp.asarray(afs)
-
-    # minibatch size: aim to visit each chunk about once over the run
-    S = options.get("minibatch_size") or max(1, min(5, int(len(chunks) / niter)))
-    logger.debug("minibatch size: %d", S)
-
     # cap device-resident data at what the run can actually visit
-    if len(chunks) > 5 * S * niter:
+    S_opt = options.get("minibatch_size") or 5
+    if len(chunks) > 5 * S_opt * niter:
         key, sub = jax.random.split(key)
         rng = np.random.default_rng(np.asarray(jax.random.key_data(sub)))
-        sel = rng.choice(len(chunks), size=5 * S * niter, replace=False)
+        sel = rng.choice(len(chunks), size=5 * S_opt * niter, replace=False)
         logger.debug("downsampling chunks %d -> %d", len(chunks), len(sel))
         chunks = chunks[sel]
-    N = len(chunks)
 
-    # Watterson-style estimate of the scaled mutation rate
-    body = chunks[:, overlap:]
-    observed = body[body > -1]
-    if observed.size == 0 or observed.sum() == 0:
-        raise ValueError(
-            "the data contain no observed heterozygous sites (all columns "
-            "missing or homozygous); cannot estimate theta — pass theta= "
-            "explicitly if this is intended"
-        )
-    watterson = observed.mean() / window_size
-    theta = options.get("theta", watterson)
-    logger.info("scaled mutation rate theta=%.4g", theta)
-
-    init = options.get("init")
-    if init is None:
-        if mutation_rate is not None:
-            N0 = theta / mutation_rate
-            options.setdefault("t1", 1e1 / 2 / N0)
-            options.setdefault("tM", 1e6 / 2 / N0)
-        t1 = options.get("t1", 1e-4)
-        tM = options.get("tM", 15.0)
-        rho = options.get("rho_over_theta", 1.0) * theta
-        pattern = options.get("pattern", "14*1+1*2")
-        init = MCMCParams.from_linear(
-            pattern=pattern,
-            rho=rho * window_size,
-            t1=t1,
-            tM=tM,
-            c=jnp.ones(len(Pattern(pattern))),
-            theta=theta * window_size,
-            alpha=options.get("alpha", 0.0),
-            beta=options.get("beta", 0.0),
-        )
-    assert isinstance(init, MCMCParams)
-
-    # particle cloud: Gaussian around the init in flattened coordinates
-    num_particles = options.get("num_particles", 500)
-    x0, unravel = ravel_pytree(init)
-    key, k_init = jax.random.split(key)
-    cov = options.get("sigma", 1.0) * jnp.eye(len(x0))
-    draws = jax.random.multivariate_normal(k_init, x0, cov, shape=(num_particles,))
-    particles = jax.vmap(unravel)(draws)
-
-    opt = optax.amsgrad(learning_rate=options.get("learning_rate", 0.1))
-    svgd = SVGD(jax.grad(log_density), opt)
-    state = svgd.init(particles)
-
-    # device-resident data: warmup prefixes + likelihood chunks, uploaded once
-    warmup_host, data_host = np.split(chunks, [overlap], axis=1)
-    warmup_dev = jnp.asarray(np.ascontiguousarray(warmup_host), dtype=jnp.int8)
-    train_kern = get_kernel(
-        M=init.M,
-        data=np.ascontiguousarray(data_host),
-        double_precision=options.get("double_precision", False),
-        backend=options.get("kernel_backend"),
+    key, k_build = jax.random.split(key)
+    prog = build_training(
+        chunks, afs, window_size=window_size, overlap=overlap, key=k_build, options=options
     )
+    state = prog.state
 
-    # unbiased minibatch gradients: HMM term scaled by N / S
-    weights = jnp.array([1.0, N / S, 1.0])
+    mesh = options.get("mesh")
+    if mesh is not None:
+        from phlash_tpu.parallel import chunk_sharding, shard_training_step
 
-    def one_step(state, key):
-        "Sample a minibatch and take one SVGD step — fully on device."
-        inds = jax.random.choice(key, N, shape=(S,))
-        return svgd.step(
-            state,
-            c=weights,
-            inds=inds,
-            warmup=warmup_dev[inds],
-            kern=train_kern,
-            afs=afs,
-            afs_transform=afs_transform,
-        )
+        # chunk tensor + warmup prefixes sharded over the chunk axis
+        prog.kern.data = jax.device_put(prog.kern.data, chunk_sharding(mesh))
+        place, jit_step = shard_training_step(prog.step, mesh)
+        state = place(state)
+        step = jit_step(state)
+    else:
+        step = jax.jit(prog.step)
 
-    step = jax.jit(one_step)
-
+    elpd_cutoff = options.get("elpd_cutoff", 100)
     if test_data is not None:
         d = test_data.get_data(window_size)
         test_afs = jnp.asarray(d["afs"]) if d["afs"] is not None else None
-        het = d["het_matrix"][:max_samples]
+        het = d["het_matrix"][: options.get("max_samples", 20)]
         N_test = het.shape[0]
         test_kern = get_kernel(
-            M=init.M,
+            M=prog.init.M,
             data=np.ascontiguousarray(het),
             double_precision=False,
             backend=options.get("kernel_backend"),
         )
         test_T = None
-        if test_afs is not None:
-            test_T = (
-                afs_transform
-                if afs_transform is not None and afs_transform.shape[1] == len(test_afs)
-                else None
-            )
+        if test_afs is not None and prog.afs_transform is not None:
+            if prog.afs_transform.shape[1] == len(test_afs):
+                test_T = prog.afs_transform
 
         @jax.jit
         def elpd(particles):
@@ -208,9 +131,11 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     def dms():
         "Current particles as demographic models in per-bp units."
         ret = jax.vmap(MCMCParams.to_dm)(state.particles)
-        ret = ret._replace(theta=ret.theta / window_size, rho=ret.rho / window_size)
-        if mutation_rate:
-            ret = jax.vmap(DemographicModel.rescale, (0, None))(ret, mutation_rate)
+        ret = ret._replace(
+            theta=ret.theta / window_size, rho=ret.rho / window_size
+        )
+        if prog.mutation_rate:
+            ret = jax.vmap(DemographicModel.rescale, (0, None))(ret, prog.mutation_rate)
         return ret
 
     cb = options.get("callback")

@@ -1,0 +1,164 @@
+"""Construction of the on-device SVGD training program.
+
+Shared by the user-facing driver (phlash_tpu.mcmc.fit) and the multi-chip
+entry points: given a chunk tensor and options, produce the initial particle
+state and a pure `(state, key) -> state` step function that performs
+minibatch sampling, warmup filtering, likelihood+gradient and the SVGD
+update entirely on device.  The step closes over device-resident data so it
+can be jitted once (optionally with mesh shardings; see
+phlash_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.flatten_util import ravel_pytree
+
+from phlash_tpu.afs import default_afs_transform
+from phlash_tpu.kernel import get_kernel
+from phlash_tpu.model import log_density
+from phlash_tpu.params import MCMCParams
+from phlash_tpu.svgd import SVGD, SVGDState
+from phlash_tpu.utils import Pattern
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainingProgram:
+    state: SVGDState
+    step: Callable  # (state, key) -> state, pure & jittable
+    init: MCMCParams  # the center of the initial particle cloud
+    kern: object  # the likelihood kernel (holds device-resident chunks)
+    warmup: jax.Array  # (N, overlap) int8 warmup prefixes on device
+    afs: jax.Array | None
+    afs_transform: jax.Array | None
+    N: int  # number of training chunks
+    S: int  # minibatch size
+    window_size: int
+    mutation_rate: float | None
+
+
+def build_training(
+    chunks: np.ndarray,
+    afs: np.ndarray | None,
+    *,
+    window_size: int,
+    overlap: int,
+    key: jax.Array,
+    options: dict,
+) -> TrainingProgram:
+    "Assemble particles, kernel and the one-step function from chunked data."
+    niter = options.get("niter", 1000)
+    mutation_rate = options.get("mutation_rate")
+    if options.get("truth"):
+        if mutation_rate:
+            raise ValueError("mutation rate is already known from truth")
+        mutation_rate = options["truth"].theta
+
+    if options.get("afs_transform") is not None:
+        afs_transform = options["afs_transform"]
+    else:
+        afs_transform = default_afs_transform(afs) if afs is not None else None
+    if afs_transform is not None:
+        afs_transform = jnp.asarray(afs_transform, dtype=jnp.float32)
+    if afs is not None:
+        afs = jnp.asarray(afs)
+
+    # minibatch size: aim to visit each chunk about once over the run
+    S = options.get("minibatch_size") or max(1, min(5, int(len(chunks) / niter)))
+    N = len(chunks)
+
+    # Watterson-style estimate of the scaled mutation rate
+    body = chunks[:, overlap:]
+    observed = body[body > -1]
+    if observed.size == 0 or observed.sum() == 0:
+        raise ValueError(
+            "the data contain no observed heterozygous sites (all columns "
+            "missing or homozygous); cannot estimate theta — pass theta= "
+            "explicitly if this is intended"
+        )
+    watterson = observed.mean() / window_size
+    theta = options.get("theta", watterson)
+    logger.info("scaled mutation rate theta=%.4g", theta)
+
+    init = options.get("init")
+    if init is None:
+        if mutation_rate is not None:
+            N0 = theta / mutation_rate
+            options.setdefault("t1", 1e1 / 2 / N0)
+            options.setdefault("tM", 1e6 / 2 / N0)
+        t1 = options.get("t1", 1e-4)
+        tM = options.get("tM", 15.0)
+        rho = options.get("rho_over_theta", 1.0) * theta
+        pattern = options.get("pattern", "14*1+1*2")
+        init = MCMCParams.from_linear(
+            pattern=pattern,
+            rho=rho * window_size,
+            t1=t1,
+            tM=tM,
+            c=jnp.ones(len(Pattern(pattern))),
+            theta=theta * window_size,
+            alpha=options.get("alpha", 0.0),
+            beta=options.get("beta", 0.0),
+        )
+    assert isinstance(init, MCMCParams)
+
+    # particle cloud: Gaussian around the init in flattened coordinates
+    num_particles = options.get("num_particles", 500)
+    x0, unravel = ravel_pytree(init)
+    key, k_init = jax.random.split(key)
+    cov = options.get("sigma", 1.0) * jnp.eye(len(x0))
+    draws = jax.random.multivariate_normal(k_init, x0, cov, shape=(num_particles,))
+    particles = jax.vmap(unravel)(draws)
+
+    opt = optax.amsgrad(learning_rate=options.get("learning_rate", 0.1))
+    svgd = SVGD(jax.grad(log_density), opt)
+    state = svgd.init(particles)
+
+    # device-resident data: warmup prefixes + likelihood chunks, uploaded once
+    warmup_host, data_host = np.split(chunks, [overlap], axis=1)
+    warmup_dev = jnp.asarray(np.ascontiguousarray(warmup_host), dtype=jnp.int8)
+    kern = get_kernel(
+        M=init.M,
+        data=np.ascontiguousarray(data_host),
+        double_precision=options.get("double_precision", False),
+        backend=options.get("kernel_backend"),
+    )
+
+    # unbiased minibatch gradients: HMM term scaled by N / S
+    weights = jnp.array([1.0, N / S, 1.0])
+
+    def one_step(state: SVGDState, key: jax.Array) -> SVGDState:
+        "Sample a minibatch and take one SVGD step — fully on device."
+        inds = jax.random.choice(key, N, shape=(S,))
+        return svgd.step(
+            state,
+            c=weights,
+            inds=inds,
+            warmup=warmup_dev[inds],
+            kern=kern,
+            afs=afs,
+            afs_transform=afs_transform,
+        )
+
+    return TrainingProgram(
+        state=state,
+        step=one_step,
+        init=init,
+        kern=kern,
+        warmup=warmup_dev,
+        afs=afs,
+        afs_transform=afs_transform,
+        N=N,
+        S=S,
+        window_size=window_size,
+        mutation_rate=mutation_rate,
+    )
