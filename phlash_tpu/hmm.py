@@ -92,6 +92,22 @@ class PureXLAKernel:
         pp = jax.tree.map(lambda a: a.astype(self.float_type), pp)
         return psmc_ll(pp, self.data[index])[1]
 
+    def loglik_batched(self, pps, inds):
+        "(B, S) log-likelihoods from (B, S)-batched pps and (S,) indices."
+        per_chunk = jax.vmap(self.loglik, in_axes=(0, 0))
+        return jax.vmap(per_chunk, in_axes=(0, None))(pps, inds)
+
+    def filter_batched(self, pps, warmup):
+        "Filtered state over warmup prefixes: (B, S, M), differentiable."
+        warmup = jnp.asarray(warmup)
+
+        def per_particle(pp):
+            pp = jax.tree.map(lambda a: a[0] if a.ndim == 2 else a, pp)
+            pp = jax.tree.map(lambda a: a.astype(self.float_type), pp)
+            return jax.vmap(lambda w: psmc_ll(pp, w)[0])(warmup)
+
+        return jax.vmap(per_particle)(pps)
+
     def __call__(self, pp, index, grad: bool):
         index = jnp.asarray(index)
         assert index.ndim in (0, 1)

@@ -33,12 +33,16 @@ def get_kernel(M: int, data, double_precision: bool = False, backend: str = None
         backend = "pallas" if platform == "tpu" else "dense"
     if backend == "pallas":
         try:
-            from phlash_tpu.ops.kernel_pallas import PallasKernel
+            from phlash_tpu.ops.kernel_smc import SMCKernel
 
-            return PallasKernel(M=M, data=data, double_precision=double_precision)
+            return SMCKernel(M_=M, data=data, double_precision=double_precision)
         except Exception as e:  # pragma: no cover - platform dependent
             logger.warning("Pallas kernel unavailable (%s); using dense XLA kernel", e)
             backend = "dense"
+    if backend == "pallas_mxu":  # kept for A/B benchmarking
+        from phlash_tpu.ops.kernel_pallas import PallasKernel
+
+        return PallasKernel(M_=M, data=data, double_precision=double_precision)
     if backend == "dense":
         from phlash_tpu.ops.kernel_dense import DenseKernel
 

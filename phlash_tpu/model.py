@@ -72,3 +72,48 @@ def log_density(
 
     total = jnp.dot(c, jnp.array([l_prior, l_hmm, l_afs]))
     return jnp.where(jnp.isfinite(total), total, -jnp.inf)
+
+
+def log_density_batched(
+    mcps: MCMCParams,  # batched pytree: leaves have leading particle axis B
+    c: jax.Array,
+    inds: jax.Array,
+    warmup: jax.Array,
+    kern,
+    afs: jax.Array | None,
+    afs_transform: jax.Array | None = None,
+) -> jax.Array:
+    """Per-particle log-densities, (B,), through the batched kernel entry.
+
+    Functionally identical to vmap(log_density) but routes the HMM term and
+    the warmup filtering through kern.loglik_batched / kern.filter_batched so
+    optimized kernels (Pallas) see the whole (particles x chunks) batch
+    explicitly instead of per-sample calls under vmap.  One jax.grad of
+    `log_density_batched(...).sum()` yields all per-particle gradients (the
+    particles are independent).
+    """
+    dms = jax.vmap(MCMCParams.to_dm)(mcps)
+    pps = jax.vmap(PSMCParams.from_dm)(dms)  # leaves (B, M)
+
+    pis = kern.filter_batched(pps, warmup)  # (B, S, M), differentiable
+    S = warmup.shape[0]
+    bc = lambda a: jnp.broadcast_to(a[:, None], (a.shape[0], S) + a.shape[1:])  # noqa: E731
+    pps_chunks = PSMCParams(*[bc(leaf) for leaf in pps])._replace(pi=pis)
+
+    l_prior = jax.vmap(log_prior)(mcps)
+    l_hmm = kern.loglik_batched(pps_chunks, inds).sum(1)
+
+    if afs is not None:
+        n = len(afs) + 1
+        T = jnp.eye(n - 1) if afs_transform is None else afs_transform
+
+        def one_afs(dm):
+            etbl = dm.eta.etbl(n)
+            return xlogy(T @ afs, T @ (etbl / etbl.sum())).sum()
+
+        l_afs = jax.vmap(one_afs)(dms)
+    else:
+        l_afs = jnp.zeros_like(l_prior)
+
+    total = c[0] * l_prior + c[1] * l_hmm + c[2] * l_afs
+    return jnp.where(jnp.isfinite(total), total, -jnp.inf)

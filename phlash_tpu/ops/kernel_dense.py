@@ -105,6 +105,21 @@ class DenseKernel:
         per_chunk = jax.vmap(self.loglik, in_axes=(0, 0))  # over S
         return jax.vmap(per_chunk, in_axes=(0, None))(pps, inds)  # over B
 
+    def filter_batched(self, pps, warmup):
+        """Filtered state over warmup prefixes: (B, S, M), differentiable.
+
+        pps leaves: (B, M) (or (B, S, M), chunk-invariant); warmup (S, L0).
+        """
+        def one(pp_leaf_sel, w):
+            return forward_ll_dense(pp_leaf_sel, w, seg_len=self.seg_len)[0]
+
+        def per_particle(pp):
+            pp = jax.tree.map(lambda a: a[0] if a.ndim == 2 else a, pp)
+            pp = jax.tree.map(lambda a: a.astype(self.float_type), pp)
+            return jax.vmap(lambda w: one(pp, w))(jnp.asarray(warmup))
+
+        return jax.vmap(per_particle)(pps)
+
     def __call__(self, pp, index, grad: bool):
         index = jnp.asarray(index)
         assert index.ndim in (0, 1)

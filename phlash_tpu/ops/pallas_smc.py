@@ -1,0 +1,372 @@
+"""Structured SMC' Pallas kernel: VPU lane-parallel forward + adjoint.
+
+The production TPU kernel.  Rationale: at M = 16 states a transition matmul
+offers only 8 rows of work per 128x128 weight load and the weights differ
+per particle, so an MXU path (ops/pallas_hmm.py, kept for comparison) is
+latency-bound on weight streaming and fights bf16 input casting.  The SMC'
+transition has O(M) structure
+
+    (x @ A)[j] = b[j] * S(x)[j] + d[j] * x[j] + vv[j] * P(u * x)[j]
+
+with S = strict suffix sum and P = strict prefix sum over states — which
+maps onto the VPU exactly in float32: states live on the 16 sublanes, each
+of the 128 lanes is an independent HMM (particle x chunk), and the scans
+are log2(16) = 4 rounds of masked sublane rolls.  The adjoint emits
+gradients directly for the compressed natural parameters (b, d, u, v,
+emis0, emis1, pi); no dense transition matrix is ever materialized (the
+CUDA reference propagates 7*M^2 forward-mode derivatives instead,
+/root/reference/src/phlash/gpu.py:575-692).
+
+Performance notes (measured on v5e):
+* Tiles are processed in blocks of TILE_BLOCK via a grid dimension — keeping
+  all tiles resident made the parameter arrays' live ranges exceed the
+  vector register file and every op spilled to VMEM.
+* Rescaling is periodic (every NORM_EVERY = 8 sites), not per-site: the
+  per-HMM normalizer needs a masked-roll reduction plus log + divide, and
+  8 unnormalized steps cannot underflow float32 (per-site scale >= ~1e-4 in
+  the worst case => >= 1e-32 per period).
+* Observations are 2-bit-packed, one int32 per site for up to 16 chunks,
+  streamed through SMEM (vector memory requires 128-lane-aligned slices;
+  scalar memory indexes freely).
+
+Layout:
+    tiles   t = s * PB + pb  (chunk-major; PB = particle blocks of 128)
+    arrays  (n_t, M, 128) f32: [tile, state, particle-lane]
+    obs     (n_seg, ROWS, seg_len // ROWS) int32 packed codes
+
+Forward: grid (tile blocks, segments); per-segment alpha checkpoints.
+Backward: grid (tile blocks, segments reversed); rebuilds each segment
+forward storing per-site states in VMEM, then sweeps it backward
+accumulating parameter cotangents in resident output blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+M = 16  # HMM states (sublane axis)
+LANES = 128  # HMMs per tile
+ROWS = 8  # obs packing rows (see pack_obs)
+DEFAULT_SEG = 256  # sites per grid step / checkpoint spacing
+TILE_BLOCK = 2  # tiles per grid step (register/VMEM working set)
+NORM_EVERY = 8  # sites between rescalings (must divide seg_len)
+MAX_CHUNKS = 16  # 2-bit codes per int32
+
+
+def pack_obs(obs: jnp.ndarray, seg_len: int) -> jnp.ndarray:
+    """(S<=16, L) observations -> (n_seg, ROWS, seg_len // ROWS) int32 codes.
+
+    Values {0, 1, -1 missing, -2 padding} -> 2-bit codes {0, 1, 2, 3}; chunk
+    s occupies bits [2s, 2s+2).  The trailing axes only satisfy SMEM block
+    rules; site t of a segment lives at [t // W, t % W], W = seg_len // ROWS.
+    """
+    assert obs.shape[0] <= MAX_CHUNKS
+    enc = jnp.where(obs == 0, 0, jnp.where(obs == 1, 1, jnp.where(obs == -1, 2, 3)))
+    shifts = 2 * jnp.arange(obs.shape[0], dtype=jnp.int32)[:, None]
+    code = (enc.astype(jnp.int32) << shifts).sum(0)
+    return code.reshape(-1, ROWS, seg_len // ROWS)
+
+
+def _iota(tb: int) -> jnp.ndarray:
+    return lax.broadcasted_iota(jnp.int32, (tb, M, LANES), 1)
+
+
+def _shift_up(x, s, iota):
+    "y[j] = x[j + s] (0 beyond the end) along the state axis."
+    # pltpu.roll requires non-negative shifts; M - s == -s on a length-M axis
+    return jnp.where(iota < M - s, pltpu.roll(x, M - s, 1), 0.0)
+
+
+def _shift_down(x, s, iota):
+    "y[j] = x[j - s] (0 before the start) along the state axis."
+    return jnp.where(iota >= s, pltpu.roll(x, s, 1), 0.0)
+
+
+def suffix_strict(x, iota):
+    "S(x)[j] = sum_{k > j} x[k] along states."
+    for s in (1, 2, 4, 8):
+        x = x + _shift_up(x, s, iota)
+    return _shift_up(x, 1, iota)
+
+
+def prefix_strict(x, iota):
+    "P(x)[j] = sum_{k < j} x[k] along states."
+    for s in (1, 2, 4, 8):
+        x = x + _shift_down(x, s, iota)
+    return _shift_down(x, 1, iota)
+
+
+def state_sum(x, iota):
+    "Total over states, broadcast to every state row."
+    for s in (1, 2, 4, 8):
+        x = x + _shift_up(x, s, iota)
+    for s in (1, 2, 4, 8):
+        x = jnp.where(iota >= s, pltpu.roll(x, s, 1), x)
+    return x
+
+
+def _emis_factor(ob, e0, e1):
+    "ob: decoded (tb, 1, 1) codes; 2 = missing -> 1, 3 = padding (frozen)."
+    return jnp.where(ob == 0, e0, jnp.where(ob == 1, e1, 1.0))
+
+
+def _transition(x, b, d, u, vv, iota):
+    "v = x @ A via the structured form; also returns the scans for the VJP."
+    sv = suffix_strict(x, iota)
+    pv = prefix_strict(u * x, iota)
+    return b * sv + d * x + vv * pv, sv, pv
+
+
+def _decode(code, chunk_shift):
+    "Packed int32 code -> per-tile (tb, 1, 1) observation codes."
+    tb = chunk_shift.shape[0]
+    c = jnp.broadcast_to(code, (tb, 1, 1)).astype(jnp.int32)
+    return lax.shift_right_logical(c, chunk_shift) & 3
+
+
+def _block_chunk_shift(tb: int, pb: int):
+    "2 * chunk index for the tiles of one block, as a function of block id g."
+
+    def at(g):
+        t = g * tb + lax.broadcasted_iota(jnp.int32, (tb, 1, 1), 0)
+        return 2 * (t // pb)
+
+    return at
+
+
+def _pick_tb(n_t: int) -> int:
+    for tb in (TILE_BLOCK, 2, 1):
+        if n_t % tb == 0:
+            return tb
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel(pb: int, tb: int):
+    shift_at = _block_chunk_shift(tb, pb)
+
+    def kernel(b_ref, d_ref, u_ref, vv_ref, e0_ref, e1_ref, pi_ref, obs_ref,
+               ll_ref, alpha_ref, ckpt_ref, alpha):
+        g = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _init():
+            alpha[...] = pi_ref[...]
+            ll_ref[...] = jnp.zeros_like(ll_ref)
+
+        ckpt_ref[0] = alpha[...]
+        iota = _iota(tb)
+        shift = shift_at(g)
+        W = obs_ref.shape[2]
+        n_per = (obs_ref.shape[1] * W) // NORM_EVERY
+
+        def period(p, carry):
+            a, ll = carry
+            t0 = p * NORM_EVERY
+            for j in range(NORM_EVERY):  # unrolled; no rescaling inside
+                t = t0 + j
+                ob = _decode(obs_ref[0, t // W, t % W], shift)
+                v, _sv, _pv = _transition(
+                    a, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
+                )
+                w = v * _emis_factor(ob, e0_ref[...], e1_ref[...])
+                a = jnp.where(ob < 3, w, a)
+            c = state_sum(a, iota)
+            return a / c, ll + jnp.log(c)
+
+        a, ll = lax.fori_loop(0, n_per, period, (alpha[...], ll_ref[...]), unroll=1)
+        alpha[...] = a
+        alpha_ref[...] = a
+        ll_ref[...] = ll
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("pb", "seg_len"))
+def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_SEG):
+    """params: tuple/list of 6 (n_t, M, 128) arrays b, d, u, vv, e0, e1;
+    pi (n_t, M, 128); obs_packed (n_seg, ROWS, seg_len//ROWS).
+
+    Returns (ll (n_t, M, 128) state-redundant, final filtered state
+    alpha (n_t, M, 128), ckpt (n_seg, n_t, M, 128)).
+    """
+    assert seg_len % NORM_EVERY == 0
+    n_t = params[0].shape[0]
+    n_seg = obs_packed.shape[0]
+    tb = _pick_tb(n_t)
+    tile3 = lambda g, s: (g, 0, 0)  # noqa: E731
+    p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
+    ll, alpha, ckpt = pl.pallas_call(
+        _make_fwd_kernel(pb, tb),
+        grid=(n_t // tb, n_seg),
+        in_specs=[p_spec] * 7 + [
+            pl.BlockSpec(
+                (1, ROWS, seg_len // ROWS), lambda g, s: (s, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=[
+            p_spec,
+            p_spec,
+            pl.BlockSpec((1, tb, M, LANES), lambda g, s: (s, g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_seg, n_t, M, LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tb, M, LANES), jnp.float32)],
+    )(*params, pi, obs_packed)
+    return ll, alpha, ckpt
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(pb: int, tb: int):
+    shift_at = _block_chunk_shift(tb, pb)
+
+    def kernel(b_ref, d_ref, u_ref, vv_ref, e0_ref, e1_ref, obs_ref, ckpt_ref,
+               gbar_ref, abar0_ref,
+               db_ref, dd_ref, du_ref, dvv_ref, de0_ref, de1_ref, dpi_ref,
+               abar, hist, c_hist, afinal):
+        g = pl.program_id(0)
+        s = pl.program_id(1)
+        n_seg = pl.num_programs(1)
+
+        @pl.when(s == 0)
+        def _init():
+            abar[...] = abar0_ref[...]
+            for r in (db_ref, dd_ref, du_ref, dvv_ref, de0_ref, de1_ref, dpi_ref):
+                r[...] = jnp.zeros_like(r)
+
+        iota = _iota(tb)
+        shift = shift_at(g)
+        W = obs_ref.shape[2]
+        seg_len = obs_ref.shape[1] * W
+        n_per = seg_len // NORM_EVERY
+
+        # ---- rebuild the segment forward, storing pre-site states and the
+        # per-period normalizers ----
+        def fwd_period(p, a):
+            t0 = p * NORM_EVERY
+            for j in range(NORM_EVERY):
+                t = t0 + j
+                hist[t] = a
+                ob = _decode(obs_ref[0, t // W, t % W], shift)
+                v, _sv, _pv = _transition(
+                    a, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
+                )
+                w = v * _emis_factor(ob, e0_ref[...], e1_ref[...])
+                a = jnp.where(ob < 3, w, a)
+            c = state_sum(a, iota)
+            c_hist[p] = c
+            return a / c
+
+        afinal[...] = lax.fori_loop(0, n_per, fwd_period, ckpt_ref[0], unroll=1)
+
+        # ---- reverse sweep ----
+        def bwd_period(q, carry):
+            ab, db, dd, du, dvv, de0, de1 = carry
+            p = n_per - 1 - q
+            t0 = p * NORM_EVERY
+            # normalization adjoint at the period boundary: a_next = y/c is
+            # the next period's first pre-site state (or the segment-final
+            # state for the last period); c was stored during the rebuild
+            c = c_hist[p]
+            a_next = jnp.where(
+                p == n_per - 1,
+                afinal[...],
+                hist[jnp.minimum(t0 + NORM_EVERY, seg_len - 1)],
+            )
+            ybar = (ab - state_sum(ab * a_next, iota) + gbar_ref[...]) / c
+            # interior sites, reversed (unnormalized linear recursion)
+            for j in reversed(range(NORM_EVERY)):
+                t = t0 + j
+                ob = _decode(obs_ref[0, t // W, t % W], shift)
+                live = ob < 3
+                x = hist[t]
+                v, sv, pv = _transition(
+                    x, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
+                )
+                f = _emis_factor(ob, e0_ref[...], e1_ref[...])
+                yb = jnp.where(live, ybar, 0.0)
+                dfull = v * yb
+                de0 = de0 + jnp.where(ob == 0, dfull, 0.0)
+                de1 = de1 + jnp.where(ob == 1, dfull, 0.0)
+                vbar = f * yb
+                db = db + sv * vbar
+                dd = dd + x * vbar
+                dvv = dvv + pv * vbar
+                t1 = suffix_strict(vv_ref[...] * vbar, iota)
+                du = du + x * t1
+                xbar = prefix_strict(b_ref[...] * vbar, iota) + d_ref[...] * vbar \
+                    + u_ref[...] * t1
+                ybar = jnp.where(live, xbar, ybar)
+            return ybar, db, dd, du, dvv, de0, de1
+
+        init = (abar[...], db_ref[...], dd_ref[...], du_ref[...], dvv_ref[...],
+                de0_ref[...], de1_ref[...])
+        out = lax.fori_loop(0, n_per, bwd_period, init, unroll=1)
+        abar[...] = out[0]
+        for r, val in zip((db_ref, dd_ref, du_ref, dvv_ref, de0_ref, de1_ref), out[1:]):
+            r[...] = val
+
+        @pl.when(s == n_seg - 1)
+        def _final():
+            dpi_ref[...] = abar[...]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("pb", "seg_len"))
+def backward_structured(params, obs_packed, ckpt, gbar, abar0, pb: int, seg_len: int):
+    """Adjoint pass.  Returns (dparams tuple of 6, dpi), packed layout.
+
+    gbar: (n_t, M, 128) cotangent of ll (state-redundant broadcast);
+    abar0: (n_t, M, 128) cotangent of the final filtered state.
+    """
+    n_t = params[0].shape[0]
+    n_seg = ckpt.shape[0]
+    tb = _pick_tb(n_t)
+    tile3 = lambda g, s: (g, 0, 0)  # noqa: E731
+    p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_bwd_kernel(pb, tb),
+        grid=(n_t // tb, n_seg),
+        in_specs=[p_spec] * 6 + [
+            pl.BlockSpec(
+                (1, ROWS, seg_len // ROWS),
+                lambda g, s: (n_seg - 1 - s, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, tb, M, LANES),
+                lambda g, s: (n_seg - 1 - s, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            p_spec,
+            p_spec,
+        ],
+        out_specs=[p_spec] * 7,
+        out_shape=[jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32)] * 7,
+        scratch_shapes=[
+            pltpu.VMEM((tb, M, LANES), jnp.float32),  # abar
+            pltpu.VMEM((seg_len, tb, M, LANES), jnp.float32),  # per-site states
+            pltpu.VMEM((seg_len // NORM_EVERY, tb, M, LANES), jnp.float32),  # c per period
+            pltpu.VMEM((tb, M, LANES), jnp.float32),  # segment-final state
+        ],
+    )(*params, obs_packed, ckpt, gbar, abar0)
+    return tuple(outs[:6]), outs[6]

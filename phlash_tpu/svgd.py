@@ -56,16 +56,30 @@ class SVGD:
     no dependency and full jit/shard_map compatibility.
     """
 
-    def __init__(self, grad_log_density: Callable, optimizer: optax.GradientTransformation):
+    def __init__(
+        self,
+        grad_log_density: Callable,
+        optimizer: optax.GradientTransformation,
+        batched_grad: bool = False,
+    ):
+        """batched_grad=False: grad_log_density takes one particle (vmapped
+        here).  batched_grad=True: it takes the whole batched particle pytree
+        and returns batched gradients — the fast path for kernels that want
+        the full (particles x chunks) batch (e.g. the Pallas TPU kernel via
+        `jax.grad(lambda P: log_density_batched(P, ...).sum())`)."""
         self.grad_fn = grad_log_density
         self.optimizer = optimizer
+        self.batched_grad = batched_grad
 
     def init(self, particles) -> SVGDState:
         return SVGDState(particles=particles, opt_state=self.optimizer.init(particles))
 
     def step(self, state: SVGDState, **density_kwargs) -> SVGDState:
         particles = state.particles
-        grads = jax.vmap(lambda p: self.grad_fn(p, **density_kwargs))(particles)
+        if self.batched_grad:
+            grads = self.grad_fn(particles, **density_kwargs)
+        else:
+            grads = jax.vmap(lambda p: self.grad_fn(p, **density_kwargs))(particles)
 
         # flatten the batched pytrees to (P, D) for the kernel computation
         leaves = jax.tree.leaves(particles)

@@ -23,7 +23,7 @@ from jax.flatten_util import ravel_pytree
 
 from phlash_tpu.afs import default_afs_transform
 from phlash_tpu.kernel import get_kernel
-from phlash_tpu.model import log_density
+from phlash_tpu.model import log_density_batched
 from phlash_tpu.params import MCMCParams
 from phlash_tpu.svgd import SVGD, SVGDState
 from phlash_tpu.utils import Pattern
@@ -120,7 +120,10 @@ def build_training(
     particles = jax.vmap(unravel)(draws)
 
     opt = optax.amsgrad(learning_rate=options.get("learning_rate", 0.1))
-    svgd = SVGD(jax.grad(log_density), opt)
+    # one backward pass over the whole particle cloud: particles are
+    # independent, so grad of the summed batched density = per-particle grads
+    batched_grad = jax.grad(lambda P, **kw: log_density_batched(P, **kw).sum())
+    svgd = SVGD(batched_grad, opt, batched_grad=True)
     state = svgd.init(particles)
 
     # device-resident data: warmup prefixes + likelihood chunks, uploaded once

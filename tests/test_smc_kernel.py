@@ -1,0 +1,113 @@
+"""Structured (VPU) Pallas kernel equivalence tests, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from phlash_tpu.hmm import PureXLAKernel, psmc_ll
+from phlash_tpu.ops.kernel_dense import DenseKernel
+from phlash_tpu.ops.kernel_smc import SMCKernel
+
+
+@pytest.fixture
+def f32_pp(pp):
+    return jax.tree.map(lambda a: a.astype(jnp.float32), pp)
+
+
+@pytest.fixture
+def short_data(rng):
+    d = rng.binomial(1, 0.05, size=(4, 300)).astype(np.int8)
+    d[1, 50:80] = -1
+    return d
+
+
+def test_smc_values_match_oracle(short_data, f32_pp):
+    kern = SMCKernel(M_=16, data=short_data, seg_len=128)
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (2, 2) + a.shape), f32_pp)
+    with pltpu.force_tpu_interpret_mode():
+        ll = np.asarray(kern.loglik_batched(pps, jnp.array([0, 1])))
+    for s, i in enumerate([0, 1]):
+        want = float(psmc_ll(f32_pp, jnp.asarray(short_data[i]))[1])
+        np.testing.assert_allclose(ll[:, s], want, rtol=1e-5)
+
+
+def test_smc_grads_match_dense(short_data, f32_pp):
+    kern = SMCKernel(M_=16, data=short_data, seg_len=128)
+    dkern = DenseKernel(M=16, data=short_data, seg_len=64)
+    B, S = 3, 2
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), f32_pp)
+    inds = jnp.array([0, 1])
+    W = jnp.arange(1.0, B * S + 1).reshape(B, S)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(lambda p: (kern.loglik_batched(p, inds) * W).sum())(pps)
+    gd = jax.grad(lambda p: (dkern.loglik_batched(p, inds) * W).sum())(pps)
+    for name, a, b in zip(pps._fields, gp, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        if name != "pi":
+            a, b = a.sum(1), b.sum(1)
+        denom = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / denom, b / denom, atol=2e-5, err_msg=name)
+
+
+def test_smc_filter_matches_oracle(short_data, f32_pp):
+    kern = SMCKernel(M_=16, data=short_data, seg_len=128)
+    B = 2
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), f32_pp)
+    warmup = jnp.asarray(short_data[:3, :100])
+    with pltpu.force_tpu_interpret_mode():
+        alpha = np.asarray(kern.filter_batched(pps, warmup))
+    assert alpha.shape == (B, 3, 16)
+    for s in range(3):
+        want = np.asarray(psmc_ll(f32_pp, warmup[s])[0])
+        for bi in range(B):
+            np.testing.assert_allclose(alpha[bi, s], want, rtol=1e-4, atol=1e-25)
+
+
+def test_smc_filter_grad_matches_xla(short_data, f32_pp):
+    "Differentiating through the Pallas filter must match the XLA scan filter."
+    kern = SMCKernel(M_=16, data=short_data, seg_len=128)
+    xkern = PureXLAKernel(M=16, data=short_data)
+    B = 2
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), f32_pp)
+    warmup = jnp.asarray(short_data[:2, :100])
+    T = jnp.linspace(0.5, 1.5, 2 * 2 * 16).reshape(2, 2, 16)
+
+    def loss(kern_):
+        return lambda p: (kern_.filter_batched(p, warmup) * T).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss(kern))(pps)
+    gx = jax.grad(loss(xkern))(pps)
+    for name, a, b in zip(pps._fields, gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / denom, b / denom, atol=2e-5, err_msg=name)
+
+
+def test_log_density_batched_matches_per_particle(short_data, mcp):
+    "log_density_batched == vmap(log_density) on the dense backend."
+    from phlash_tpu.model import log_density, log_density_batched
+
+    kern = DenseKernel(M=16, data=short_data[:, 100:], double_precision=True, seg_len=64)
+    B = 3
+    key = jax.random.PRNGKey(0)
+    flat, unravel = jax.flatten_util.ravel_pytree(mcp)
+    particles = jax.vmap(unravel)(flat[None] + 0.01 * jax.random.normal(key, (B, len(flat))))
+    kw = dict(
+        c=jnp.array([1.0, 1.0, 1.0]),
+        inds=jnp.arange(2),
+        warmup=jnp.asarray(short_data[:2, :100]),
+        kern=kern,
+        afs=jnp.array([30, 10, 5], dtype=jnp.int64),
+        afs_transform=None,
+    )
+    got = log_density_batched(particles, **kw)
+    want = jax.vmap(lambda m: log_density(m, **kw))(particles)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    g1 = jax.grad(lambda P: log_density_batched(P, **kw).sum())(particles)
+    g2 = jax.grad(lambda P: jax.vmap(lambda m: log_density(m, **kw))(P).sum())(particles)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-8)
