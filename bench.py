@@ -42,10 +42,11 @@ def main():
     from phlash_tpu.params import PSMCParams
     from phlash_tpu.size_history import DemographicModel
 
-    B, S, L = 500, 5, 5_000
+    B, S, L = 500, 5, 20_000
     L_base = 1_000  # the scan baseline is slow; measure it on fewer sites
     rng = np.random.default_rng(0)
     data = rng.binomial(1, 0.05, size=(max(8, S), L)).astype(np.int8)
+    data[:, 1000:1100] = -1  # a missing stretch, so that path is in the timing
     dm = DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
     pp = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm))
     pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp)

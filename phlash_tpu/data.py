@@ -376,7 +376,55 @@ class VcfContig(Contig):
         except ImportError:
             return _iter_vcf_text(self.vcf_file, self.contig, start, end, self.samples)
 
+    def _get_data_fast(self, window_size: int) -> dict[str, np.ndarray] | None:
+        """Vectorized path: C tokenizer over the raw text + numpy windowing.
+
+        Only for text VCFs (pysam handles .bcf); returns None when the
+        native extension is unavailable.
+        """
+        if self.vcf_file.endswith(".bcf"):
+            return None
+        try:
+            from phlash_tpu.io import parse_vcf_lines
+        except Exception:  # pragma: no cover - optional component
+            return None
+        opener = gzip.open if self.vcf_file.endswith(".gz") else open
+        with opener(self.vcf_file, "rb") as fh:
+            text = fh.read()
+        # locate the header to map sample names -> tab columns
+        hdr_at = text.find(b"#CHROM")
+        if hdr_at < 0:
+            raise ValueError("malformed VCF: no #CHROM header line")
+        hdr = text[hdr_at: text.index(b"\n", hdr_at)].decode().split("\t")
+        all_samples = hdr[9:]
+        missing = set(self.samples) - set(all_samples)
+        if missing:
+            raise ValueError(f"samples not found in the vcf: {missing}")
+        cols = sorted(9 + all_samples.index(s) for s in self.samples)
+        # requested order within the ascending-column output
+        order = np.argsort(np.argsort([9 + all_samples.index(s) for s in self.samples]))
+        parsed = parse_vcf_lines(text, cols, contig=self.contig)
+        if parsed is None:
+            return None
+        pos, het, nd = parsed
+        het = het[:, order]
+        start, end = self.interval
+        keep = (pos >= start) & (pos <= end)
+        pos, het, nd = pos[keep], het[keep], nd[keep]
+        S = len(self.samples)
+        W = (end - start + 1) // window_size
+        win = np.minimum((pos - start) // window_size, W - 1).astype(np.int64)
+        H = np.zeros([S, W], dtype=bool)
+        hot = het.T > 0  # (S, R)
+        rows = np.broadcast_to(np.arange(S)[:, None], hot.shape)
+        np.logical_or.at(H, (rows, np.broadcast_to(win[None], hot.shape)), hot)
+        afs = np.bincount(nd, minlength=2 * S + 1)[: 2 * S + 1].astype(np.int64)
+        return dict(het_matrix=H.astype(np.int8), afs=afs[1:-1])
+
     def get_data(self, window_size: int = 100) -> dict[str, np.ndarray]:
+        fast = self._get_data_fast(window_size)
+        if fast is not None:
+            return fast
         start, end = self.interval
         L = end - start + 1
         S = len(self.samples)

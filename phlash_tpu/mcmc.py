@@ -155,15 +155,48 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     except ImportError:  # pragma: no cover
         pbar = range(niter)
 
-    ema = best_elpd = None
+    # optional checkpoint/resume (new vs the reference; SURVEY.md §5)
+    ckpt_path = options.get("checkpoint_path")
+    save_every = options.get("save_every", 50)
+    start_step = 0
+    ema = None
+    if ckpt_path:
+        from phlash_tpu.checkpoint import TrainCheckpoint, load_checkpoint, save_checkpoint
+
+        _treedef_cache = {}
+        resumed = load_checkpoint(ckpt_path, state)
+        if resumed is not None:
+            state, key, start_step, ema = (
+                resumed.state,
+                resumed.key,
+                resumed.step,
+                resumed.ema,
+            )
+
+    from phlash_tpu.profiling import StepMeter
+
+    num_particles = len(jax.tree.leaves(state.particles)[0])
+    chunk_len = int(prog.kern.data.shape[-1])
+    meter = StepMeter(sites_per_step=float(prog.S) * num_particles * chunk_len)
+
+    best_elpd = None
     patience = 0
     for i in pbar:
+        if i < start_step:
+            continue  # fast-forward a resumed run (pbar cosmetics only)
         key, sub = jax.random.split(key)
         new_state = step(state, sub)
         flat, _ = ravel_pytree(new_state.particles)
         if not bool(jnp.isfinite(flat).all()):
             raise RuntimeError(f"non-finite particles at iteration {i}")
         state = new_state
+        meter.tick()
+        if ckpt_path and (i + 1) % save_every == 0:
+            save_checkpoint(
+                ckpt_path,
+                TrainCheckpoint(step=i + 1, state=state, key=key, ema=ema, best_step=i),
+                _treedef_cache,
+            )
         if test_data is not None and i % 10 == 0:
             e = float(elpd(state.particles))
             ema = e if ema is None else 0.9 * ema + 0.1 * e
@@ -180,5 +213,5 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
             if hasattr(pbar, "set_description"):
                 pbar.set_description(f"elpd={ema:.2f} patience={patience}")
         cb(dms())
-    logger.info("fit finished")
+    logger.info("fit finished: %s", meter.summary())
     return tree_unstack(dms())

@@ -123,30 +123,97 @@ def bottleneck_demography(theta: float = 1e-2, M: int = 16) -> DemographicModel:
 # -- optional stdpopsim/msprime tier -----------------------------------------
 
 
+def _find_stdpopsim_model(species_id: str, model_id: str):
+    import stdpopsim
+
+    species = stdpopsim.get_species(species_id)
+    if model_id == "Constant":
+        ne = species.population_size
+        import msprime
+
+        model = msprime.Demography.isolated_model([ne])
+        return species, stdpopsim.PiecewiseConstantSize(ne)
+    return species, species.get_demographic_model(model_id)
+
+
 def stdpopsim_dataset(
     species_id: str,
     model_id: str,
     populations: dict[str, int],
     contigs: list[str] = None,
-    use_scrm: bool = None,
     seed: int = 1,
-    options: dict = None,
+    n_chromosomes: int = None,
+    num_workers: int = None,
 ):
-    """Simulate a published stdpopsim demographic model (optional deps).
+    """Simulate a published stdpopsim catalog model into Contigs.
 
-    Mirrors the reference harness (sim.py:28-102); requires `stdpopsim` and
-    `msprime` to be installed.
+    Capability parity with the reference harness
+    (/root/reference/src/phlash/sim.py:28-102), msprime engine only (the
+    reference also shells out to scrm for very large scaled recombination
+    rates; that path is omitted — msprime handles the catalog models used in
+    the phlash paper).  Requires the optional `stdpopsim` package.
+
+    Args:
+        species_id: e.g. "HomSap".
+        model_id: catalog model id (e.g. "Zigzag_1S14") or "Constant".
+        populations: {population name: number of diploid samples}.
+        contigs: chromosome names to simulate (default: all autosomes).
+        seed: RNG seed.
+        n_chromosomes: cap on the number of chromosomes.
+
+    Returns:
+        (data, truth): dict chrom -> TreeSequenceContig, and the exact
+        SizeHistory implied by the model for the sampled population.
     """
-    try:
-        import stdpopsim  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "stdpopsim_dataset requires the optional 'stdpopsim' package; "
-            "use phlash_tpu.sim.simulate_dataset for dependency-free simulation"
-        ) from e
-    raise NotImplementedError(
-        "stdpopsim integration is pending; use simulate_dataset"
-    )
+    import stdpopsim
+
+    from phlash_tpu.data import TreeSequenceContig
+
+    species, model = _find_stdpopsim_model(species_id, model_id)
+    engine = stdpopsim.get_engine("msprime")
+    if contigs is None:
+        contigs = [
+            c.id
+            for c in species.genome.chromosomes
+            if c.ploidy == 2 and c.id.lower() not in ("x", "y", "mt", "chrx", "chry", "chrm")
+        ]
+    if n_chromosomes:
+        contigs = contigs[:n_chromosomes]
+    samples = {pop: n for pop, n in populations.items()}
+    data = {}
+    for i, chrom in enumerate(contigs):
+        contig_spec = species.get_contig(chrom, mutation_rate=species.genome.mean_mutation_rate)
+        ts = engine.simulate(model, contig_spec, samples, seed=seed + i)
+        nodes = [tuple(ind.nodes) for ind in ts.individuals()]
+        data[chrom] = TreeSequenceContig(ts, nodes=nodes)
+    truth = compute_truth_msprime(model.model, list(populations)[0])
+    return data, truth
+
+
+def compute_truth_msprime(demography, population: str = None, t_max: float = None) -> SizeHistory:
+    """Exact pairwise coalescence-rate trajectory from an msprime demography.
+
+    (reference: sim.py:105-124 — uses the DemographyDebugger's coalescence
+    rate trajectory.)  Requires the optional `msprime` package.
+    """
+    import msprime
+
+    assert isinstance(demography, msprime.Demography)
+    dbg = demography.debug()
+    if t_max is None:
+        t_max = 4 * _mean_coal_time(dbg, population)
+    t = np.geomspace(1e1, max(t_max, 1e2), 1000)
+    if population is None:
+        lineages = None
+    else:
+        lineages = {population: 2}
+    rates = dbg.coalescence_rate_trajectory(steps=t, lineages=lineages)[0]
+    return SizeHistory(t=jnp.asarray(t), c=jnp.asarray(rates))
+
+
+def _mean_coal_time(dbg, population=None) -> float:
+    lineages = {population: 2} if population else None
+    return float(dbg.mean_coalescence_time(lineages=lineages))
 
 
 def compute_truth(dm: DemographicModel, t_grid=None) -> SizeHistory:

@@ -1,0 +1,82 @@
+"""Checkpoint/resume and profiling-counter tests (new vs the reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from phlash_tpu.checkpoint import TrainCheckpoint, load_checkpoint, save_checkpoint
+from phlash_tpu.profiling import StepMeter
+from phlash_tpu.svgd import SVGD
+
+
+def _toy_state():
+    svgd = SVGD(jax.grad(lambda x: -0.5 * jnp.sum(x**2)), optax.adam(0.1))
+    particles = jnp.arange(12.0).reshape(4, 3)
+    return svgd, svgd.init(particles)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    _, state = _toy_state()
+    path = str(tmp_path / "ckpt.npz")
+    key = jax.random.PRNGKey(7)
+    save_checkpoint(
+        path, TrainCheckpoint(step=42, state=state, key=key, ema=-1.5, best_step=40), {}
+    )
+    back = load_checkpoint(path, state)
+    assert back.step == 42
+    assert back.best_step == 40
+    np.testing.assert_allclose(back.ema, -1.5)
+    np.testing.assert_array_equal(
+        jax.random.key_data(back.key), jax.random.key_data(key)
+    )
+    for a, b in zip(jax.tree.leaves(back.state), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_missing(tmp_path):
+    _, state = _toy_state()
+    assert load_checkpoint(str(tmp_path / "nope.npz"), state) is None
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    import pytest
+
+    _, state = _toy_state()
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(
+        path,
+        TrainCheckpoint(step=1, state=state, key=jax.random.PRNGKey(0), ema=None, best_step=0),
+        {},
+    )
+    bad = jax.tree.map(lambda a: jnp.zeros((2,) + a.shape, a.dtype), state)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_checkpoint(path, bad)
+
+
+def test_fit_resume(tmp_path):
+    "A fit interrupted and restarted must continue from the checkpoint."
+    from phlash_tpu.data import RawContig
+    from phlash_tpu.mcmc import fit
+
+    het = np.random.default_rng(0).integers(0, 2, size=(1, 3000)).astype(np.int8)
+    c = RawContig(het_matrix=het, afs=np.array([4, 2, 1]), window_size=100)
+    path = str(tmp_path / "fit.npz")
+    kw = dict(
+        num_particles=4, overlap=10, chunk_size=300, num_workers=1,
+        progress=False, kernel_backend="dense", checkpoint_path=path, save_every=2,
+        key=jax.random.PRNGKey(3),
+    )
+    fit([c], niter=4, **kw)
+    # restart with more iterations: resumes from step 4 and completes
+    res = fit([c], niter=6, **kw)
+    assert len(res) == 4
+
+
+def test_step_meter():
+    m = StepMeter(sites_per_step=1e6)
+    for _ in range(5):
+        m.tick()
+    assert m.steps_per_sec > 0
+    assert m.msites_per_sec > 0
+    assert "steps" in m.summary()

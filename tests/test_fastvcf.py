@@ -1,0 +1,78 @@
+"""C VCF tokenizer: build, parse, and parity with the pure-Python parser."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from phlash_tpu.io import parse_vcf_lines, vcf_parser_backend
+
+VCF = b"""##fileformat=VCFv4.2
+##contig=<ID=chr1,length=1000>
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsA\tsB\tsC
+chr1\t10\t.\tA\tT\t.\tPASS\t.\tGT:DP\t0/1:3\t0/0:9\t1/1:2
+chr2\t11\t.\tA\tT\t.\tPASS\t.\tGT\t1/1\t0/1\t0/0
+chr1\t150\t.\tG\tC\t.\tPASS\t.\tGT\t.|1\t0|1\t./.
+chr1\t400\t.\tT\tA\t.\tPASS\t.\tGT\t0/0\t1/1\t0/1
+"""
+
+
+needs_c = pytest.mark.skipif(
+    vcf_parser_backend() != "c", reason="C extension could not be built"
+)
+
+
+@needs_c
+def test_parse_basic():
+    pos, het, nd = parse_vcf_lines(VCF, [9, 10, 11], contig="chr1")
+    np.testing.assert_array_equal(pos, [10, 150, 400])
+    np.testing.assert_array_equal(het[0], [1, 0, 0])  # 0/1, 0/0, 1/1
+    np.testing.assert_array_equal(het[1], [-1, 1, -1])  # .|1, 0|1, ./.
+    np.testing.assert_array_equal(het[2], [0, 0, 1])  # 0/0, 1/1, 0/1
+    np.testing.assert_array_equal(het[:, 2], [0, -1, 1])  # sample sC across records
+    # nd counts non-reference alleles (missing alleles don't count)
+    np.testing.assert_array_equal(nd, [3, 2, 3])
+
+
+@needs_c
+def test_contig_filter():
+    pos, _, _ = parse_vcf_lines(VCF, [9], contig="chr2")
+    np.testing.assert_array_equal(pos, [11])
+    # no filter: all records
+    pos, _, _ = parse_vcf_lines(VCF, [9], contig=None)
+    assert len(pos) == 4
+
+
+@needs_c
+def test_fast_path_matches_python(tmp_path, rng):
+    "VcfContig must produce identical output via C and pure-Python parsers."
+    from phlash_tpu import data as data_mod
+    from phlash_tpu.data import VcfContig
+
+    # synthesize a larger VCF
+    lines = [
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=chr9,length=100000>",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2",
+    ]
+    gts = ["0/0", "0/1", "1/1", "./.", "0|1", "1|0"]
+    positions = np.sort(rng.choice(np.arange(100, 99000), size=500, replace=False))
+    for p in positions:
+        lines.append(
+            f"chr9\t{p}\t.\tA\tG\t.\tPASS\t.\tGT\t{rng.choice(gts)}\t{rng.choice(gts)}"
+        )
+    path = tmp_path / "big.vcf.gz"
+    with gzip.open(path, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    c = VcfContig(str(path), samples=["s1", "s2"], contig="chr9", interval=(1, 99000))
+    fast = c._get_data_fast(100)
+    assert fast is not None
+    # force the slow path
+    slow_records = c.get_data.__wrapped__ if hasattr(c.get_data, "__wrapped__") else None
+    import unittest.mock as mock
+
+    with mock.patch.object(VcfContig, "_get_data_fast", return_value=None):
+        slow = c.get_data(100)
+    np.testing.assert_array_equal(fast["het_matrix"], slow["het_matrix"])
+    np.testing.assert_array_equal(fast["afs"], slow["afs"])

@@ -1,0 +1,71 @@
+"""Mesh sharding tests on the virtual 8-device CPU mesh.
+
+The critical invariant: sharding is an execution detail — one SVGD step on
+the (particle x chunk) mesh must produce numerically the same particles as
+the single-device step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phlash_tpu.parallel import (
+    chunk_sharding,
+    make_mesh,
+    particle_sharding,
+    replicated,
+    shard_training_step,
+)
+from phlash_tpu.training import build_training
+
+
+@pytest.fixture
+def program():
+    rng = np.random.default_rng(0)
+    chunks = rng.binomial(1, 0.05, size=(16, 400)).astype(np.int8)
+    afs = np.array([50, 20, 10, 5, 2], dtype=np.int64)
+    options = dict(num_particles=16, minibatch_size=2, kernel_backend="dense", niter=10)
+    return build_training(
+        chunks, afs, window_size=100, overlap=64, key=jax.random.PRNGKey(0), options=options
+    )
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("p", "d")
+    mesh2 = make_mesh(2)
+    assert mesh2.devices.shape == (2, 1)
+
+
+def test_sharded_step_matches_unsharded(program):
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(5)
+
+    want = jax.jit(program.step)(program.state, key)
+
+    program.kern.data = jax.device_put(program.kern.data, chunk_sharding(mesh))
+    place, jit_step = shard_training_step(program.step, mesh)
+    state = place(program.state)
+    got = jit_step(state)(state, key)
+
+    for a, b in zip(jax.tree.leaves(got.particles), jax.tree.leaves(want.particles)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7)
+
+
+def test_sharded_state_placement(program):
+    mesh = make_mesh(8)
+    place, _ = shard_training_step(program.step, mesh)
+    state = place(program.state)
+    leaf = jax.tree.leaves(state.particles)[0]
+    # sharded over "p", replicated over "d" -> lives on all 8 devices
+    assert len(leaf.sharding.device_set) == 8
+    assert leaf.sharding.spec == jax.sharding.PartitionSpec("p")
+
+
+def test_sharding_specs():
+    mesh = make_mesh(8)
+    assert particle_sharding(mesh).spec == jax.sharding.PartitionSpec("p")
+    assert chunk_sharding(mesh).spec == jax.sharding.PartitionSpec("d")
+    assert replicated(mesh).spec == jax.sharding.PartitionSpec()
