@@ -29,7 +29,7 @@ from jax.flatten_util import ravel_pytree
 
 from phlash_tpu.data import Contig, init_mcmc_data
 from phlash_tpu.kernel import get_kernel
-from phlash_tpu.model import log_density
+from phlash_tpu.model import log_density_batched
 from phlash_tpu.params import MCMCParams
 from phlash_tpu.size_history import DemographicModel
 from phlash_tpu.training import build_training
@@ -115,18 +115,15 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
 
         @jax.jit
         def elpd(particles):
-            def one(mcp):
-                return log_density(
-                    mcp,
-                    c=jnp.array([0.0, 1.0, 1.0]),
-                    inds=jnp.arange(N_test),
-                    warmup=jnp.full([N_test, 1], -1, dtype=jnp.int8),
-                    kern=test_kern,
-                    afs=test_afs,
-                    afs_transform=test_T,
-                )
-
-            return jax.vmap(one)(particles).mean()
+            return log_density_batched(
+                particles,
+                c=jnp.array([0.0, 1.0, 1.0]),
+                inds=jnp.arange(N_test),
+                warmup=jnp.full([N_test, 1], -1, dtype=jnp.int8),
+                kern=test_kern,
+                afs=test_afs,
+                afs_transform=test_T,
+            ).mean()
 
     def dms():
         "Current particles as demographic models in per-bp units."

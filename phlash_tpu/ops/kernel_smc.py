@@ -147,9 +147,19 @@ class SMCKernel:
 
     def loglik_batched(self, pps: PSMCParams, inds) -> jnp.ndarray:
         """(B, S) log-likelihoods; pps leaves (B, S, M) (non-pi leaves must be
-        chunk-invariant), inds (S,) chunk indices."""
+        chunk-invariant), inds (S,) chunk indices.
+
+        Minibatches wider than the 16-chunk packing limit are split into
+        multiple kernel invocations transparently.
+        """
         S = pps.pi.shape[1]
-        assert S <= MAX_CHUNKS, f"minibatch size {S} exceeds packing limit {MAX_CHUNKS}"
+        if S > MAX_CHUNKS:
+            parts = []
+            for lo in range(0, S, MAX_CHUNKS):
+                hi = min(lo + MAX_CHUNKS, S)
+                sub = jax.tree.map(lambda a: a[:, lo:hi] if a.ndim == 3 else a, pps)
+                parts.append(self.loglik_batched(sub, inds[lo:hi]))
+            return jnp.concatenate(parts, axis=1)
         params, pi, pb, B = self._pack_all(pps, S)
         obs = self._obs_rows(self.data[inds])
         ll, _ = _structured_fwd_op(params, pi, obs, pb, self.seg_len)
@@ -161,6 +171,13 @@ class SMCKernel:
         warmup: (S, overlap) int8 observations (shared across particles).
         """
         S = warmup.shape[0]
+        if S > MAX_CHUNKS:
+            parts = []
+            for lo in range(0, S, MAX_CHUNKS):
+                hi = min(lo + MAX_CHUNKS, S)
+                sub = jax.tree.map(lambda a: a[:, lo:hi] if a.ndim == 3 else a, pps)
+                parts.append(self.filter_batched(sub, warmup[lo:hi]))
+            return jnp.concatenate(parts, axis=1)
         params, pi, pb, B = self._pack_all(pps, S)
         obs = self._obs_rows(jnp.asarray(warmup, dtype=jnp.int8))
         _ll, alpha = _structured_fwd_op(params, pi, obs, pb, self.seg_len)

@@ -7,7 +7,7 @@ codebase (no scipy dependency in the hot path, stdlib logging).
 
 from phlash_tpu.utils.pattern import Pattern
 from phlash_tpu.utils.trees import tree_stack, tree_unstack
-from phlash_tpu.utils.numerics import softplus_inv, expm1inv, kahan_add
+from phlash_tpu.utils.numerics import softplus_inv, expm1inv, kahan_add, invert_cpwli
 
 __all__ = [
     "Pattern",
@@ -16,4 +16,5 @@ __all__ = [
     "softplus_inv",
     "expm1inv",
     "kahan_add",
+    "invert_cpwli",
 ]

@@ -31,6 +31,26 @@ def expm1inv(x):
     return jnp.where(big, -jnp.exp(-x) / jnp.expm1(-x), 1.0 / jnp.expm1(x_lo))
 
 
+def invert_cpwli(R):
+    """Invert a continuous piecewise-linear increasing scipy PPoly.
+
+    Used to map cumulative-hazard values back to times (reference:
+    /root/reference/src/phlash/util.py:54-61).  Host-side scipy only.
+    """
+    import numpy as np
+    from scipy.interpolate import PPoly
+
+    x = R.x
+    assert np.isinf(x[-1])
+    assert np.isclose(x[0], 0.0)
+    slope, intercept = R.c
+    return PPoly(
+        x=np.append(intercept, np.inf),
+        c=np.array([1.0 / slope, x[:-1]]),
+        extrapolate=False,
+    )
+
+
 def kahan_add(sum_and_comp, x):
     """One step of Kahan (compensated) summation.
 

@@ -25,3 +25,31 @@ def test_confidence_band_covers():
         f = np.asarray(s(t, Ne=True))
         inside += bool((f >= lo - 1e-6).all() and (f <= hi + 1e-6).all())
     assert inside >= int(np.ceil(0.9 * len(samples)))
+
+
+def test_plot_posterior_runs(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from phlash_tpu.plot import plot_posterior
+    from phlash_tpu.size_history import DemographicModel, SizeHistory
+
+    rng = np.random.default_rng(0)
+    dms = [
+        DemographicModel(
+            eta=SizeHistory(
+                t=np.array([0.0, 0.5, 2.0]), c=np.exp(rng.normal(0, 0.3, 3))
+            ),
+            theta=1e-4,
+            rho=1e-4,
+        )
+        for _ in range(10)
+    ]
+    fig, ax = plt.subplots()
+    t, med, band = plot_posterior(dms, ax=ax)
+    assert len(t) == len(med) == 200
+    lo, hi = band
+    assert (hi >= lo).all()
+    fig.savefig(tmp_path / "p.png")

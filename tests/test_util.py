@@ -50,3 +50,15 @@ def test_tree_stack_unstack():
     back = tree_unstack(stacked)
     assert len(back) == 3
     np.testing.assert_array_equal(back[1]["a"], trees[1]["a"])
+
+
+def test_invert_cpwli():
+    from scipy.interpolate import PPoly
+
+    from phlash_tpu.utils import invert_cpwli
+
+    # R(t): slope 2 on [0,1), slope 0.5 beyond, continuous
+    R = PPoly(x=np.array([0.0, 1.0, np.inf]), c=np.array([[2.0, 0.5], [0.0, 2.0]]))
+    Rinv = invert_cpwli(R)
+    for t in [0.2, 0.9, 1.5, 4.0]:
+        np.testing.assert_allclose(Rinv(R(t)), t, rtol=1e-12)
