@@ -142,7 +142,7 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
 
             cb = liveplot_cb(truth=options.get("truth"))
         except Exception:
-            cb = lambda *_a, **_k: None  # noqa: E731
+            cb = None  # no live-plot backend: skip per-iteration dms()
 
     progress = options.get("progress", True)
     try:
@@ -209,6 +209,7 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
                 break
             if hasattr(pbar, "set_description"):
                 pbar.set_description(f"elpd={ema:.2f} patience={patience}")
-        cb(dms())
+        if cb is not None:
+            cb(dms())
     logger.info("fit finished: %s", meter.summary())
     return tree_unstack(dms())

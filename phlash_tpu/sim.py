@@ -128,11 +128,7 @@ def _find_stdpopsim_model(species_id: str, model_id: str):
 
     species = stdpopsim.get_species(species_id)
     if model_id == "Constant":
-        ne = species.population_size
-        import msprime
-
-        model = msprime.Demography.isolated_model([ne])
-        return species, stdpopsim.PiecewiseConstantSize(ne)
+        return species, stdpopsim.PiecewiseConstantSize(species.population_size)
     return species, species.get_demographic_model(model_id)
 
 
@@ -142,78 +138,85 @@ def stdpopsim_dataset(
     populations: dict[str, int],
     contigs: list[str] = None,
     seed: int = 1,
-    n_chromosomes: int = None,
-    num_workers: int = None,
-):
+    options: dict = None,
+) -> dict:
     """Simulate a published stdpopsim catalog model into Contigs.
 
     Capability parity with the reference harness
     (/root/reference/src/phlash/sim.py:28-102), msprime engine only (the
     reference also shells out to scrm for very large scaled recombination
-    rates; that path is omitted — msprime handles the catalog models used in
-    the phlash paper).  Requires the optional `stdpopsim` package.
+    rates; msprime handles the catalog models used in the phlash paper).
+    Requires the optional `stdpopsim` package.
 
     Args:
         species_id: e.g. "HomSap".
         model_id: catalog model id (e.g. "Zigzag_1S14") or "Constant".
         populations: {population name: number of diploid samples}.
-        contigs: chromosome names to simulate (default: all autosomes).
+        contigs: chromosome ids to simulate (default: diploid, recombining,
+            numeric-id chromosomes).
         seed: RNG seed.
-        n_chromosomes: cap on the number of chromosomes.
+        options: length_multiplier, num_threads.
 
     Returns:
-        (data, truth): dict chrom -> TreeSequenceContig, and the exact
-        SizeHistory implied by the model for the sampled population.
+        {"data": {chrom: TreeSequenceContig}, "truth": DemographicModel}
+        — the same contract as the reference, so notebooks written against
+        it run unchanged.
     """
+    import re as _re
+
     import stdpopsim
 
     from phlash_tpu.data import TreeSequenceContig
 
+    options = options or {}
     species, model = _find_stdpopsim_model(species_id, model_id)
     engine = stdpopsim.get_engine("msprime")
+    mu = species.genome.chromosomes[0].mutation_rate
     if contigs is None:
-        contigs = [
+        keep = [
             c.id
             for c in species.genome.chromosomes
-            if c.ploidy == 2 and c.id.lower() not in ("x", "y", "mt", "chrx", "chry", "chrm")
+            if c.ploidy == 2 and c.recombination_rate > 0 and _re.match(r"\d+", c.id)
         ]
-    if n_chromosomes:
-        contigs = contigs[:n_chromosomes]
-    samples = {pop: n for pop, n in populations.items()}
+    else:
+        keep = list(contigs)
+    pop_dict = {pop.name: 0 for pop in model.populations}
+    pop_dict.update(populations)
+    samples = {p: n for p, n in pop_dict.items() if n > 0}
     data = {}
-    for i, chrom in enumerate(contigs):
-        contig_spec = species.get_contig(chrom, mutation_rate=species.genome.mean_mutation_rate)
-        ts = engine.simulate(model, contig_spec, samples, seed=seed + i)
+    for i, chrom in enumerate(keep):
+        spec = species.get_contig(
+            chrom,
+            mutation_rate=mu,
+            length_multiplier=options.get("length_multiplier", 1.0),
+        )
+        ts = engine.simulate(model, spec, samples, seed=seed + i)
         nodes = [tuple(ind.nodes) for ind in ts.individuals()]
         data[chrom] = TreeSequenceContig(ts, nodes=nodes)
-    truth = compute_truth_msprime(model.model, list(populations)[0])
-    return data, truth
+    truth_eta = compute_truth_msprime(model.model, list(populations))
+    truth = DemographicModel(eta=truth_eta, theta=mu, rho=None)
+    return {"data": data, "truth": truth}
 
 
-def compute_truth_msprime(demography, population: str = None, t_max: float = None) -> SizeHistory:
+def compute_truth_msprime(
+    demography, populations: list[str], t_min: float = 1e1, t_max: float = None
+) -> SizeHistory:
     """Exact pairwise coalescence-rate trajectory from an msprime demography.
 
-    (reference: sim.py:105-124 — uses the DemographyDebugger's coalescence
-    rate trajectory.)  Requires the optional `msprime` package.
+    (reference: sim.py:105-124 — the DemographyDebugger's coalescence-rate
+    trajectory on a geometric time grid.)  Requires optional `msprime`.
     """
-    import msprime
-
-    assert isinstance(demography, msprime.Demography)
     dbg = demography.debug()
     if t_max is None:
-        t_max = 4 * _mean_coal_time(dbg, population)
-    t = np.geomspace(1e1, max(t_max, 1e2), 1000)
-    if population is None:
-        lineages = None
+        t_max = max(1e5, float(dbg.epoch_start_time.max()) + 1.0)
+    t = np.geomspace(t_min, t_max, 1000)
+    if len(populations) == 1:
+        lineages = {populations[0]: 2}
     else:
-        lineages = {population: 2}
-    rates = dbg.coalescence_rate_trajectory(steps=t, lineages=lineages)[0]
+        assert len(populations) == 2
+        lineages = {p: 1 for p in populations}
+    rates, _ = dbg.coalescence_rate_trajectory(t, lineages)
     return SizeHistory(t=jnp.asarray(t), c=jnp.asarray(rates))
-
-
-def _mean_coal_time(dbg, population=None) -> float:
-    lineages = {population: 2} if population else None
-    return float(dbg.mean_coalescence_time(lineages=lineages))
 
 
 def compute_truth(dm: DemographicModel, t_grid=None) -> SizeHistory:

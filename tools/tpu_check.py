@@ -1,0 +1,76 @@
+"""On-hardware kernel verification: run on a real TPU.
+
+The pytest suite pins itself to CPU (interpret-mode Pallas) so it can run
+anywhere; this script is the hardware half of the dual-implementation test
+strategy — it executes the compiled kernels on the attached TPU and checks
+values and gradients against the scan oracle, like the reference's
+self-hosted GPU CI job (reference .github/workflows/test.yml).
+
+Usage:  python tools/tpu_check.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> int:
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(f"SKIP: no TPU attached (backend={jax.default_backend()})")
+        return 0
+
+    from phlash_tpu.hmm import psmc_ll
+    from phlash_tpu.ops.kernel_dense import DenseKernel
+    from phlash_tpu.ops.kernel_smc import SMCKernel
+    from phlash_tpu.params import PSMCParams
+    from phlash_tpu.size_history import DemographicModel
+
+    rng = np.random.default_rng(0)
+    B, S, L = 64, 5, 2048
+    data = rng.binomial(1, 0.05, size=(8, L)).astype(np.int8)
+    data[1, 100:200] = -1
+    dm = DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
+    pp = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm))
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp)
+    inds = jnp.arange(S)
+
+    kern = SMCKernel(M_=16, data=data)
+    dkern = DenseKernel(M=16, data=data)
+    failures = 0
+
+    # values vs oracle
+    ll = np.asarray(kern.loglik_batched(pps, inds))
+    for s in range(S):
+        want = float(psmc_ll(pp, jnp.asarray(data[s]))[1])
+        rel = abs(ll[0, s] - want) / abs(want)
+        status = "ok" if rel < 1e-4 else "FAIL"
+        failures += status == "FAIL"
+        print(f"value chunk {s}: pallas {ll[0, s]:.4f} oracle {want:.4f} rel {rel:.2e} {status}")
+
+    # grads vs dense backend
+    W = jnp.linspace(0.5, 1.5, B * S).reshape(B, S)
+    gp = jax.grad(lambda p: (kern.loglik_batched(p, inds) * W).sum())(pps)
+    gd = jax.grad(lambda p: (dkern.loglik_batched(p, inds) * W).sum())(pps)
+    for name, a, b in zip(pps._fields, gp, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        if name != "pi":
+            a, b = a.sum(1), b.sum(1)
+        denom = np.abs(b).max() + 1e-12
+        rel = np.abs(a - b).max() / denom
+        status = "ok" if rel < 1e-3 else "FAIL"
+        failures += status == "FAIL"
+        print(f"grad {name}: maxrel {rel:.2e} {status}")
+
+    print("PASS" if failures == 0 else f"FAIL ({failures})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
