@@ -48,3 +48,45 @@ def test_fit_simulated_recovers_scale():
     med_c = np.median([float(np.median(np.asarray(r.eta.c))) for r in res])
     true_c = float(np.median(np.asarray(truth.eta.c)))  # theta-scaled units
     assert 0.2 < med_c / true_c < 5.0
+
+
+def test_fit_multisample_composite():
+    "Multi-diploid composite likelihood + joint AFS (cf. BASELINE config 4)."
+    rng = np.random.default_rng(2)
+    het = rng.integers(0, 2, size=(4, 3000)).astype(np.int8)  # 4 diploids
+    afs = np.array([40, 18, 9, 5, 3, 2, 1], dtype=np.int64)  # n - 1 = 7
+    c = RawContig(het_matrix=het, afs=afs, window_size=100)
+    res = fit(
+        [c],
+        niter=3,
+        num_particles=8,
+        overlap=16,
+        chunk_size=400,
+        num_workers=1,
+        progress=False,
+        kernel_backend="dense",
+    )
+    assert len(res) == 8
+
+
+def test_fit_with_elpd_early_stopping():
+    "Held-out contig drives the ELPD loop (exercises the test-kernel path)."
+    rng = np.random.default_rng(3)
+    mk = lambda seed: RawContig(  # noqa: E731
+        het_matrix=np.random.default_rng(seed).integers(0, 2, (1, 3000)).astype(np.int8),
+        afs=np.array([5, 2, 1]),
+        window_size=100,
+    )
+    res = fit(
+        [mk(0)],
+        test_data=mk(1),
+        niter=12,
+        num_particles=8,
+        overlap=16,
+        chunk_size=400,
+        num_workers=1,
+        progress=False,
+        kernel_backend="dense",
+        elpd_cutoff=100,
+    )
+    assert len(res) == 8
