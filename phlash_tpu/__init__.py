@@ -18,6 +18,15 @@ import os
 # keep XLA from grabbing all device memory before the data tensors are sized
 os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 
+# TPU kernel compiles are expensive (minutes); persist them across runs.
+# Opt out with PHLASH_TPU_NO_COMPILE_CACHE=1 or by setting your own
+# JAX_COMPILATION_CACHE_DIR.
+if not os.environ.get("PHLASH_TPU_NO_COMPILE_CACHE"):
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "phlash_tpu", "xla"),
+    )
+
 from phlash_tpu.data import contig
 from phlash_tpu.mcmc import fit
 from phlash_tpu.plot import plot_posterior
