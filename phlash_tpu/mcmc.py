@@ -176,6 +176,15 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     chunk_len = int(prog.kern.data.shape[-1])
     meter = StepMeter(sites_per_step=float(prog.S) * num_particles * chunk_len)
 
+    # checking finiteness forces a host<->device sync; doing it every step
+    # would serialize dispatch, so check periodically (and on the last step).
+    # PHLASH_TPU_DEBUG=1 restores per-step checking (cf. the reference's
+    # PHLASH_DEBUG_MODE, gpu.py:21).
+    import os as _os
+
+    default_check = 1 if _os.environ.get("PHLASH_TPU_DEBUG") else 10
+    check_every = options.get("check_every", default_check)
+
     best_elpd = None
     patience = 0
     for i in pbar:
@@ -183,9 +192,10 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
             continue  # fast-forward a resumed run (pbar cosmetics only)
         key, sub = jax.random.split(key)
         new_state = step(state, sub)
-        flat, _ = ravel_pytree(new_state.particles)
-        if not bool(jnp.isfinite(flat).all()):
-            raise RuntimeError(f"non-finite particles at iteration {i}")
+        if i % check_every == 0 or i == niter - 1:
+            flat, _ = ravel_pytree(new_state.particles)
+            if not bool(jnp.isfinite(flat).all()):
+                raise RuntimeError(f"non-finite particles at iteration {i}")
         state = new_state
         meter.tick()
         if ckpt_path and (i + 1) % save_every == 0:
