@@ -18,6 +18,17 @@ import os
 # keep XLA from grabbing all device memory before the data tensors are sized
 os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 
+import jax as _jax
+
+# Parameter ASSEMBLY must run in float64: the SMC' transition matrix's small
+# entries are computed through complements/differences of near-1 cumulative
+# products, and float32's ~1e-7 absolute error is a ~100% relative error on
+# them — enough to visibly distort inferred histories.  Compute-heavy paths
+# (the Pallas/XLA likelihood kernels) cast their inputs to float32
+# explicitly, so device throughput is unaffected.  (The reference makes the
+# same choice: /root/reference/src/phlash/__init__.py:16.)
+_jax.config.update("jax_enable_x64", True)
+
 # TPU kernel compiles are expensive (minutes); persist them across runs.
 # Opt out with PHLASH_TPU_NO_COMPILE_CACHE=1 or by setting your own
 # JAX_COMPILATION_CACHE_DIR.

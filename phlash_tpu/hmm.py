@@ -57,7 +57,7 @@ def psmc_ll(pp: PSMCParams, data: jax.Array) -> tuple[jax.Array, jax.Array]:
     def site(carry, ob):
         alpha, ll = carry
         alpha = matvec_smc(alpha, pp) * emis[ob]
-        norm = alpha.sum()
+        norm = jnp.maximum(alpha.sum(), 1e-35)
         return (alpha / norm, ll + jnp.log(norm)), None
 
     init = (pp.pi, jnp.zeros((), pp.pi.dtype))

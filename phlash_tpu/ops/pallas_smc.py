@@ -51,6 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 M = 16  # HMM states (sublane axis)
+TINY_NORM = 1e-30  # normalizer clamp: keeps extreme particles finite (their
+# density is then ~-inf and the model-level guard zeroes their gradient)
 LANES = 128  # HMMs per tile
 ROWS = 8  # obs packing rows (see pack_obs)
 DEFAULT_SEG = 256  # sites per grid step / checkpoint spacing
@@ -69,8 +71,10 @@ def pack_obs(obs: jnp.ndarray, seg_len: int) -> jnp.ndarray:
     assert obs.shape[0] <= MAX_CHUNKS
     enc = jnp.where(obs == 0, 0, jnp.where(obs == 1, 1, jnp.where(obs == -1, 2, 3)))
     shifts = 2 * jnp.arange(obs.shape[0], dtype=jnp.int32)[:, None]
-    code = (enc.astype(jnp.int32) << shifts).sum(0)
-    return code.reshape(-1, ROWS, seg_len // ROWS)
+    # keep int32 end-to-end: under x64 the sum would promote to int64, which
+    # Mosaic cannot lower (and recurses trying)
+    code = (enc.astype(jnp.int32) << shifts).sum(0, dtype=jnp.int32)
+    return code.astype(jnp.int32).reshape(-1, ROWS, seg_len // ROWS)
 
 
 def _iota(tb: int) -> jnp.ndarray:
@@ -79,13 +83,15 @@ def _iota(tb: int) -> jnp.ndarray:
 
 def _shift_up(x, s, iota):
     "y[j] = x[j + s] (0 beyond the end) along the state axis."
-    # pltpu.roll requires non-negative shifts; M - s == -s on a length-M axis
-    return jnp.where(iota < M - s, pltpu.roll(x, M - s, 1), 0.0)
+    # pltpu.roll requires non-negative shifts; M - s == -s on a length-M axis.
+    # shift passed as int32 array: a python int traces as i64 under x64,
+    # which Mosaic's dynamic_rotate cannot take.
+    return jnp.where(iota < M - s, pltpu.roll(x, jnp.int32(M - s), 1), 0.0)
 
 
 def _shift_down(x, s, iota):
     "y[j] = x[j - s] (0 before the start) along the state axis."
-    return jnp.where(iota >= s, pltpu.roll(x, s, 1), 0.0)
+    return jnp.where(iota >= s, pltpu.roll(x, jnp.int32(s), 1), 0.0)
 
 
 def suffix_strict(x, iota):
@@ -107,7 +113,7 @@ def state_sum(x, iota):
     for s in (1, 2, 4, 8):
         x = x + _shift_up(x, s, iota)
     for s in (1, 2, 4, 8):
-        x = jnp.where(iota >= s, pltpu.roll(x, s, 1), x)
+        x = jnp.where(iota >= s, pltpu.roll(x, jnp.int32(s), 1), x)
     return x
 
 
@@ -134,8 +140,11 @@ def _block_chunk_shift(tb: int, pb: int):
     "2 * chunk index for the tiles of one block, as a function of block id g."
 
     def at(g):
-        t = g * tb + lax.broadcasted_iota(jnp.int32, (tb, 1, 1), 0)
-        return 2 * (t // pb)
+        # keep everything explicitly int32: mixed weak-typed python ints
+        # recurse in jnp promotion under x64 inside pallas tracing
+        base = lax.convert_element_type(g, jnp.int32) * jnp.int32(tb)
+        t = base + lax.broadcasted_iota(jnp.int32, (tb, 1, 1), 0)
+        return jnp.int32(2) * lax.div(t, jnp.int32(pb))
 
     return at
 
@@ -169,28 +178,41 @@ def _make_fwd_kernel(pb: int, tb: int):
         iota = _iota(tb)
         shift = shift_at(g)
         W = obs_ref.shape[2]
+        W32 = jnp.int32(W)
         n_per = (obs_ref.shape[1] * W) // NORM_EVERY
 
         def period(p, carry):
             a, ll = carry
-            t0 = p * NORM_EVERY
+            t0 = p * jnp.int32(NORM_EVERY)
             for j in range(NORM_EVERY):  # unrolled; no rescaling inside
-                t = t0 + j
-                ob = _decode(obs_ref[0, t // W, t % W], shift)
+                t = t0 + jnp.int32(j)
+                ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
                 v, _sv, _pv = _transition(
                     a, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
                 )
                 w = v * _emis_factor(ob, e0_ref[...], e1_ref[...])
                 a = jnp.where(ob < 3, w, a)
-            c = state_sum(a, iota)
+            c = jnp.maximum(state_sum(a, iota), TINY_NORM)
             return a / c, ll + jnp.log(c)
 
-        a, ll = lax.fori_loop(0, n_per, period, (alpha[...], ll_ref[...]), unroll=1)
+        a, ll = lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_per), period, (alpha[...], ll_ref[...]), unroll=1
+        )
         alpha[...] = a
         alpha_ref[...] = a
         ll_ref[...] = ll
 
     return kernel
+
+
+import numpy as _np
+
+_Z = _np.int32(0)  # index-map literal: python 0 would trace as i64 under x64
+# (a numpy scalar: jax arrays may not be captured by index-map closures)
+
+
+def _i32(x):
+    return lax.convert_element_type(x, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("pb", "seg_len"))
@@ -205,20 +227,26 @@ def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_S
     n_t = params[0].shape[0]
     n_seg = obs_packed.shape[0]
     tb = _pick_tb(n_t)
-    tile3 = lambda g, s: (g, 0, 0)  # noqa: E731
+    tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
     ll, alpha, ckpt = pl.pallas_call(
         _make_fwd_kernel(pb, tb),
         grid=(n_t // tb, n_seg),
         in_specs=[p_spec] * 7 + [
             pl.BlockSpec(
-                (1, ROWS, seg_len // ROWS), lambda g, s: (s, 0, 0), memory_space=pltpu.SMEM
+                (1, ROWS, seg_len // ROWS),
+                lambda g, s: (_i32(s), _Z, _Z),
+                memory_space=pltpu.SMEM,
             ),
         ],
         out_specs=[
             p_spec,
             p_spec,
-            pl.BlockSpec((1, tb, M, LANES), lambda g, s: (s, g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tb, M, LANES),
+                lambda g, s: (_i32(s), _i32(g), _Z, _Z),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
@@ -255,47 +283,50 @@ def _make_bwd_kernel(pb: int, tb: int):
         iota = _iota(tb)
         shift = shift_at(g)
         W = obs_ref.shape[2]
+        W32 = jnp.int32(W)
         seg_len = obs_ref.shape[1] * W
         n_per = seg_len // NORM_EVERY
 
         # ---- rebuild the segment forward, storing pre-site states and the
         # per-period normalizers ----
         def fwd_period(p, a):
-            t0 = p * NORM_EVERY
+            t0 = p * jnp.int32(NORM_EVERY)
             for j in range(NORM_EVERY):
-                t = t0 + j
+                t = t0 + jnp.int32(j)
                 hist[t] = a
-                ob = _decode(obs_ref[0, t // W, t % W], shift)
+                ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
                 v, _sv, _pv = _transition(
                     a, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
                 )
                 w = v * _emis_factor(ob, e0_ref[...], e1_ref[...])
                 a = jnp.where(ob < 3, w, a)
-            c = state_sum(a, iota)
+            c = jnp.maximum(state_sum(a, iota), TINY_NORM)
             c_hist[p] = c
             return a / c
 
-        afinal[...] = lax.fori_loop(0, n_per, fwd_period, ckpt_ref[0], unroll=1)
+        afinal[...] = lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_per), fwd_period, ckpt_ref[0], unroll=1
+        )
 
         # ---- reverse sweep ----
         def bwd_period(q, carry):
             ab, db, dd, du, dvv, de0, de1 = carry
-            p = n_per - 1 - q
-            t0 = p * NORM_EVERY
+            p = jnp.int32(n_per - 1) - q
+            t0 = p * jnp.int32(NORM_EVERY)
             # normalization adjoint at the period boundary: a_next = y/c is
             # the next period's first pre-site state (or the segment-final
             # state for the last period); c was stored during the rebuild
             c = c_hist[p]
             a_next = jnp.where(
-                p == n_per - 1,
+                p == jnp.int32(n_per - 1),
                 afinal[...],
-                hist[jnp.minimum(t0 + NORM_EVERY, seg_len - 1)],
+                hist[jnp.minimum(t0 + jnp.int32(NORM_EVERY), jnp.int32(seg_len - 1))],
             )
             ybar = (ab - state_sum(ab * a_next, iota) + gbar_ref[...]) / c
             # interior sites, reversed (unnormalized linear recursion)
             for j in reversed(range(NORM_EVERY)):
-                t = t0 + j
-                ob = _decode(obs_ref[0, t // W, t % W], shift)
+                t = t0 + jnp.int32(j)
+                ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
                 live = ob < 3
                 x = hist[t]
                 v, sv, pv = _transition(
@@ -319,7 +350,7 @@ def _make_bwd_kernel(pb: int, tb: int):
 
         init = (abar[...], db_ref[...], dd_ref[...], du_ref[...], dvv_ref[...],
                 de0_ref[...], de1_ref[...])
-        out = lax.fori_loop(0, n_per, bwd_period, init, unroll=1)
+        out = lax.fori_loop(jnp.int32(0), jnp.int32(n_per), bwd_period, init, unroll=1)
         abar[...] = out[0]
         for r, val in zip((db_ref, dd_ref, du_ref, dvv_ref, de0_ref, de1_ref), out[1:]):
             r[...] = val
@@ -341,7 +372,8 @@ def backward_structured(params, obs_packed, ckpt, gbar, abar0, pb: int, seg_len:
     n_t = params[0].shape[0]
     n_seg = ckpt.shape[0]
     tb = _pick_tb(n_t)
-    tile3 = lambda g, s: (g, 0, 0)  # noqa: E731
+    tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
+    rev = lambda s: _np.int32(n_seg - 1) - _i32(s)  # noqa: E731
     p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _make_bwd_kernel(pb, tb),
@@ -349,12 +381,12 @@ def backward_structured(params, obs_packed, ckpt, gbar, abar0, pb: int, seg_len:
         in_specs=[p_spec] * 6 + [
             pl.BlockSpec(
                 (1, ROWS, seg_len // ROWS),
-                lambda g, s: (n_seg - 1 - s, 0, 0),
+                lambda g, s: (rev(s), _Z, _Z),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
                 (1, tb, M, LANES),
-                lambda g, s: (n_seg - 1 - s, g, 0, 0),
+                lambda g, s: (rev(s), _i32(g), _Z, _Z),
                 memory_space=pltpu.VMEM,
             ),
             p_spec,

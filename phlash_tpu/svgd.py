@@ -80,6 +80,10 @@ class SVGD:
             grads = self.grad_fn(particles, **density_kwargs)
         else:
             grads = jax.vmap(lambda p: self.grad_fn(p, **density_kwargs))(particles)
+        # a pathological particle (clamped likelihood underflow) can emit
+        # inf/nan gradients; zero them so it is carried by the kernel-weighted
+        # attraction instead of poisoning the optimizer moments
+        grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
 
         # flatten the batched pytrees to (P, D) for the kernel computation
         leaves = jax.tree.leaves(particles)
