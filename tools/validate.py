@@ -41,17 +41,20 @@ def run(name: str, truth, L: int, niter: int, n_contigs: int = 3) -> dict:
         contigs,
         test_data=test,
         niter=niter,
-        overlap=256,
-        chunk_size=8192,
         num_workers=1,
         progress=False,
+        theta=1e-4,  # per-bp; matches the simulator scale exactly
+        t1=1e-3,     # the simulator's discretization grid
+        tM=15.0,
+        alpha=1.0,   # mild smoothness prior on log c
+        minibatch_size=5,
         elpd_cutoff=max(50, niter // 4),
         key=jax.random.PRNGKey(7),
     )
     wall = time.time() - t0
 
-    # evaluate on a grid spanning the informative range
-    grid = np.geomspace(5e-3, 10.0, 64)
+    # evaluate where the data inform: the central 90% of coalescence mass
+    grid = np.geomspace(truth.eta.quantile(0.05), truth.eta.quantile(0.95), 64)
     Ne = np.stack([np.asarray(dm.eta(grid, Ne=True)) for dm in post])
     lo, med, hi = np.quantile(Ne, [0.025, 0.5, 0.975], axis=0)
     true_ne = np.asarray(truth.eta(grid, Ne=True))
