@@ -56,7 +56,8 @@ TINY_NORM = 1e-30  # normalizer clamp: keeps extreme particles finite (their
 LANES = 128  # HMMs per tile
 ROWS = 8  # obs packing rows (see pack_obs)
 DEFAULT_SEG = 256  # sites per grid step / checkpoint spacing
-TILE_BLOCK = 2  # tiles per grid step (register/VMEM working set)
+FWD_TILE_BLOCK = 4  # forward tiles per grid step (measured optimum)
+BWD_TILE_BLOCK = 2  # backward is VMEM-bounded by the per-site history
 NORM_EVERY = 8  # sites between rescalings (must divide seg_len)
 MAX_CHUNKS = 16  # 2-bit codes per int32
 
@@ -149,9 +150,9 @@ def _block_chunk_shift(tb: int, pb: int):
     return at
 
 
-def _pick_tb(n_t: int) -> int:
-    for tb in (TILE_BLOCK, 2, 1):
-        if n_t % tb == 0:
+def _pick_tb(n_t: int, want: int) -> int:
+    for tb in (want, 4, 2, 1):
+        if tb <= want and n_t % tb == 0:
             return tb
     return 1
 
@@ -226,7 +227,7 @@ def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_S
     assert seg_len % NORM_EVERY == 0
     n_t = params[0].shape[0]
     n_seg = obs_packed.shape[0]
-    tb = _pick_tb(n_t)
+    tb = _pick_tb(n_t, FWD_TILE_BLOCK)
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
     ll, alpha, ckpt = pl.pallas_call(
@@ -371,7 +372,7 @@ def backward_structured(params, obs_packed, ckpt, gbar, abar0, pb: int, seg_len:
     """
     n_t = params[0].shape[0]
     n_seg = ckpt.shape[0]
-    tb = _pick_tb(n_t)
+    tb = _pick_tb(n_t, BWD_TILE_BLOCK)
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     rev = lambda s: _np.int32(n_seg - 1) - _i32(s)  # noqa: E731
     p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)

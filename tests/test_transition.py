@@ -55,3 +55,25 @@ def test_q_s_integrates_to_one(dm):
         lambda t: float(q(t)), 0.0, t_hi, points=list(dm.eta.t) + [s], limit=300
     )
     np.testing.assert_allclose(val + float(atom), 1.0, rtol=1e-5)
+
+
+def test_assembly_runs_in_float64(dm):
+    """Regression guard for the f32-assembly catastrophe: with package-default
+    x64, from_dm/transition_matrix must produce float64, and the small
+    lower-triangle entries must be meaningful (not complement noise)."""
+    from phlash_tpu.params import PSMCParams
+
+    A = transition_matrix(dm)
+    assert A.dtype == np.float64
+    pp = PSMCParams.from_dm(dm)
+    assert pp.b.dtype == np.float64
+    # entries into the earliest interval are tiny but strictly positive and
+    # far below f32's absolute-error floor around 1.0
+    col0 = np.asarray(A[1:, 0])
+    assert (col0 > 0).all()
+    assert col0.max() < 1e-4
+    # an f32 assembly cannot represent these to better than ~100% relative
+    # error; f64 must agree with itself after a tiny perturbation to ~1e-6
+    dm2 = dm._replace(rho=dm.rho * (1 + 1e-9))
+    col0b = np.asarray(transition_matrix(dm2)[1:, 0])
+    np.testing.assert_allclose(col0, col0b, rtol=1e-5)
