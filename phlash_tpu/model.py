@@ -62,11 +62,14 @@ def log_density(
 
     if afs is not None:
         n = len(afs) + 1
-        T = jnp.eye(n - 1) if afs_transform is None else afs_transform
+        # float32 throughout: an int64/f64 matmul here crashes the TPU
+        # compiler, and f32 is exact for realistic AFS counts' purposes
+        T = jnp.eye(n - 1, dtype=jnp.float32) if afs_transform is None else afs_transform
+        T = T.astype(jnp.float32)
         assert T.ndim == 2 and T.shape[1] == n - 1
         etbl = dm.eta.etbl(n)
-        esfs = etbl / etbl.sum()
-        l_afs = xlogy(T @ afs, T @ esfs).sum()
+        esfs = (etbl / etbl.sum()).astype(jnp.float32)
+        l_afs = xlogy(T @ afs.astype(jnp.float32), T @ esfs).sum()
     else:
         l_afs = 0.0
 
@@ -105,11 +108,14 @@ def log_density_batched(
 
     if afs is not None:
         n = len(afs) + 1
-        T = jnp.eye(n - 1) if afs_transform is None else afs_transform
+        T = jnp.eye(n - 1, dtype=jnp.float32) if afs_transform is None else afs_transform
+        T = T.astype(jnp.float32)
+        afs32 = afs.astype(jnp.float32)
 
         def one_afs(dm):
             etbl = dm.eta.etbl(n)
-            return xlogy(T @ afs, T @ (etbl / etbl.sum())).sum()
+            esfs = (etbl / etbl.sum()).astype(jnp.float32)
+            return xlogy(T @ afs32, T @ esfs).sum()
 
         l_afs = jax.vmap(one_afs)(dms)
     else:

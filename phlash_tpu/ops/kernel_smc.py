@@ -161,7 +161,7 @@ class SMCKernel:
                 parts.append(self.loglik_batched(sub, inds[lo:hi]))
             return jnp.concatenate(parts, axis=1)
         params, pi, pb, B = self._pack_all(pps, S)
-        obs = self._obs_rows(self.data[inds])
+        obs = self._obs_rows(self.data[jnp.asarray(inds, dtype=jnp.int32)])
         ll, _ = _structured_fwd_op(params, pi, obs, pb, self.seg_len)
         return _unpack_ll(ll, S, pb)[:B]
 

@@ -141,7 +141,9 @@ def build_training(
 
     def one_step(state: SVGDState, key: jax.Array) -> SVGDState:
         "Sample a minibatch and take one SVGD step — fully on device."
-        inds = jax.random.choice(key, N, shape=(S,))
+        # int32 indices: under x64 an int64 gather over a large chunk tensor
+        # in the same program as the Pallas kernels crashes the TPU compiler
+        inds = jax.random.choice(key, N, shape=(S,)).astype(jnp.int32)
         return svgd.step(
             state,
             c=weights,
