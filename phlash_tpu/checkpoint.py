@@ -30,6 +30,8 @@ class TrainCheckpoint:
     key: jax.Array
     ema: float | None
     best_step: int
+    best_ema: float | None = None
+    best_state: Any = None  # best-held-out-ELPD SVGDState, if tracked
 
 
 def _flatten_with_paths(tree):
@@ -44,10 +46,21 @@ def save_checkpoint(path: str, ckpt: TrainCheckpoint, treedef_cache: dict) -> No
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     arrays["__key"] = np.asarray(jax.random.key_data(ckpt.key))
     meta = np.array(
-        [ckpt.step, ckpt.best_step, 1 if ckpt.ema is not None else 0], dtype=np.int64
+        [
+            ckpt.step,
+            ckpt.best_step,
+            1 if ckpt.ema is not None else 0,
+            1 if ckpt.best_state is not None else 0,
+            1 if ckpt.best_ema is not None else 0,
+        ],
+        dtype=np.int64,
     )
     arrays["__meta"] = meta
     arrays["__ema"] = np.array(ckpt.ema if ckpt.ema is not None else 0.0)
+    arrays["__best_ema"] = np.array(ckpt.best_ema if ckpt.best_ema is not None else 0.0)
+    if ckpt.best_state is not None:
+        best_leaves, _ = _flatten_with_paths(ckpt.best_state)
+        arrays.update({f"best_{i}": np.asarray(x) for i, x in enumerate(best_leaves)})
     tmp = path + ".tmp"
     np.savez(tmp, **arrays)
     os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
@@ -70,7 +83,22 @@ def load_checkpoint(path: str, example_state) -> TrainCheckpoint | None:
                 )
         state = jax.tree_util.tree_unflatten(treedef, loaded)
         key = jax.random.wrap_key_data(jnp.asarray(z["__key"]))
-        step, best_step, has_ema = (int(v) for v in z["__meta"])
+        meta = [int(v) for v in z["__meta"]]
+        step, best_step, has_ema = meta[:3]
+        has_best, has_best_ema = (meta[3], meta[4]) if len(meta) >= 5 else (0, 0)
         ema = float(z["__ema"]) if has_ema else None
+        best_ema = float(z["__best_ema"]) if has_best_ema else None
+        best_state = None
+        if has_best:
+            best_leaves = [jnp.asarray(z[f"best_{i}"]) for i in range(n)]
+            best_state = jax.tree_util.tree_unflatten(treedef, best_leaves)
     logger.info("resumed from checkpoint %s at step %d", path, step)
-    return TrainCheckpoint(step=step, state=state, key=key, ema=ema, best_step=best_step)
+    return TrainCheckpoint(
+        step=step,
+        state=state,
+        key=key,
+        ema=ema,
+        best_step=best_step,
+        best_ema=best_ema,
+        best_state=best_state,
+    )

@@ -18,7 +18,8 @@ import jax
 logger = logging.getLogger(__name__)
 
 
-def get_kernel(M: int, data, double_precision: bool = False, backend: str = None):
+def get_kernel(M: int, data, double_precision: bool = False, backend: str = None,
+               mesh=None):
     """Return a likelihood kernel for the int8 chunk tensor `data`.
 
     Args:
@@ -27,6 +28,9 @@ def get_kernel(M: int, data, double_precision: bool = False, backend: str = None
         double_precision: use float64 state (slow on TPU; CPU testing only).
         backend: force "scan" (O(M) oracle), "dense" (batched XLA), or
             "pallas" (TPU fused kernel); default picks per platform.
+        mesh: optional jax.sharding.Mesh — the chunk tensor is sharded over
+            the mesh's chunk axis and (for the Pallas backend) the kernel
+            runs under shard_map with particles split across all devices.
     """
     if backend is None:
         platform = jax.default_backend()
@@ -35,20 +39,29 @@ def get_kernel(M: int, data, double_precision: bool = False, backend: str = None
         try:
             from phlash_tpu.ops.kernel_smc import SMCKernel
 
-            return SMCKernel(M_=M, data=data, double_precision=double_precision)
+            return SMCKernel(
+                M_=M, data=data, double_precision=double_precision, mesh=mesh
+            )
         except Exception as e:  # pragma: no cover - platform dependent
             logger.warning("Pallas kernel unavailable (%s); using dense XLA kernel", e)
             backend = "dense"
     if backend == "pallas_mxu":  # kept for A/B benchmarking
         from phlash_tpu.ops.kernel_pallas import PallasKernel
 
-        return PallasKernel(M_=M, data=data, double_precision=double_precision)
-    if backend == "dense":
+        kern = PallasKernel(M_=M, data=data, double_precision=double_precision)
+    elif backend == "dense":
         from phlash_tpu.ops.kernel_dense import DenseKernel
 
-        return DenseKernel(M=M, data=data, double_precision=double_precision)
-    if backend == "scan":
+        kern = DenseKernel(M=M, data=data, double_precision=double_precision)
+    elif backend == "scan":
         from phlash_tpu.hmm import PureXLAKernel
 
-        return PureXLAKernel(M=M, data=data, double_precision=double_precision)
-    raise ValueError(f"unknown kernel backend: {backend}")
+        kern = PureXLAKernel(M=M, data=data, double_precision=double_precision)
+    else:
+        raise ValueError(f"unknown kernel backend: {backend}")
+    if mesh is not None:
+        # pure-XLA backends: shard the chunk tensor; GSPMD partitions the rest
+        from phlash_tpu.parallel import chunk_sharding
+
+        kern.data = jax.device_put(kern.data, chunk_sharding(mesh))
+    return kern

@@ -69,14 +69,18 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     )
     del data
 
-    # cap device-resident data at what the run can actually visit
-    S_opt = options.get("minibatch_size") or 5
+    # cap device-resident data at what the run can actually visit; the cap
+    # and the training program use the same resolved minibatch size
+    from phlash_tpu.training import resolve_minibatch_size
+
+    S_opt = resolve_minibatch_size(options, len(chunks), niter)
     if len(chunks) > 5 * S_opt * niter:
         key, sub = jax.random.split(key)
         rng = np.random.default_rng(np.asarray(jax.random.key_data(sub)))
         sel = rng.choice(len(chunks), size=5 * S_opt * niter, replace=False)
         logger.debug("downsampling chunks %d -> %d", len(chunks), len(sel))
         chunks = chunks[sel]
+    options = dict(options, minibatch_size=S_opt)
 
     key, k_build = jax.random.split(key)
     prog = build_training(
@@ -86,10 +90,9 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
 
     mesh = options.get("mesh")
     if mesh is not None:
-        from phlash_tpu.parallel import chunk_sharding, shard_training_step
+        from phlash_tpu.parallel import shard_training_step
 
-        # chunk tensor + warmup prefixes sharded over the chunk axis
-        prog.kern.data = jax.device_put(prog.kern.data, chunk_sharding(mesh))
+        # data tensors were sharded by build_training; shard the SVGD state
         place, jit_step = shard_training_step(prog.step, mesh)
         state = place(state)
         step = jit_step(state)
@@ -105,8 +108,9 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
         test_kern = get_kernel(
             M=prog.init.M,
             data=np.ascontiguousarray(het),
-            double_precision=False,
+            double_precision=options.get("double_precision", False),
             backend=options.get("kernel_backend"),
+            mesh=mesh,
         )
         test_T = None
         if test_afs is not None and prog.afs_transform is not None:
@@ -157,6 +161,7 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     save_every = options.get("save_every", 50)
     start_step = 0
     ema = None
+    best_elpd = None  # (step, ema, state) of the best held-out ELPD so far
     if ckpt_path:
         from phlash_tpu.checkpoint import TrainCheckpoint, load_checkpoint, save_checkpoint
 
@@ -169,6 +174,8 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
                 resumed.step,
                 resumed.ema,
             )
+            if resumed.best_state is not None:
+                best_elpd = (resumed.best_step, resumed.best_ema, resumed.best_state)
 
     from phlash_tpu.profiling import StepMeter
 
@@ -185,7 +192,6 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     default_check = 1 if _os.environ.get("PHLASH_TPU_DEBUG") else 10
     check_every = options.get("check_every", default_check)
 
-    best_elpd = None
     patience = 0
     for i in pbar:
         if i < start_step:
@@ -201,7 +207,15 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
         if ckpt_path and (i + 1) % save_every == 0:
             save_checkpoint(
                 ckpt_path,
-                TrainCheckpoint(step=i + 1, state=state, key=key, ema=ema, best_step=i),
+                TrainCheckpoint(
+                    step=i + 1,
+                    state=state,
+                    key=key,
+                    ema=ema,
+                    best_step=best_elpd[0] if best_elpd else i,
+                    best_ema=best_elpd[1] if best_elpd else None,
+                    best_state=best_elpd[2] if best_elpd else None,
+                ),
                 _treedef_cache,
             )
         if test_data is not None and i % 10 == 0:
@@ -222,4 +236,10 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
         if cb is not None:
             cb(dms())
     logger.info("fit finished: %s", meter.summary())
+    if best_elpd is not None:
+        # return the best-held-out-ELPD particles, not the last iterate (the
+        # reference returns the final state, /root/reference/src/phlash/
+        # mcmc.py:293-314 — SURVEY.md §5 flags that as a quirk to fix)
+        logger.info("returning best-ELPD state from iteration %d", best_elpd[0])
+        state = best_elpd[2]
     return tree_unstack(dms())

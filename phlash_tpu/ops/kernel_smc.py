@@ -23,6 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from phlash_tpu.ops import pallas_smc
 from phlash_tpu.ops.pallas_smc import DEFAULT_SEG, LANES, M, MAX_CHUNKS
@@ -94,10 +95,20 @@ _structured_fwd_op.defvjp(_structured_fwd_op_fwd, _structured_fwd_op_bwd)
 
 
 class SMCKernel:
-    """Structured VPU likelihood kernel over a device-resident chunk tensor."""
+    """Structured VPU likelihood kernel over a device-resident chunk tensor.
+
+    With `mesh=` the kernel is multi-chip: the chunk tensor is sharded over
+    the mesh's chunk axis ("d", HBM capacity scaling), the minibatch gather
+    produces a small replicated (S, L) tile, and the Pallas forward/adjoint
+    run under `shard_map` with the particle axis split over *all* mesh
+    devices — the TPU-native counterpart of the reference's per-GPU host
+    threads + replicated data (/root/reference/src/phlash/gpu.py:397-429),
+    except the heavy axis (particles, not chunk indices) is the one
+    distributed and no host synchronization exists at all.
+    """
 
     def __init__(self, M_: int = None, data=None, double_precision: bool = False,
-                 seg_len: int = DEFAULT_SEG, **kw):
+                 seg_len: int = DEFAULT_SEG, mesh=None, **kw):
         M_ = M_ or kw.pop("M", 16)
         if M_ != M:
             raise ValueError(f"the TPU kernel requires M={M}, got {M_}")
@@ -112,6 +123,47 @@ class SMCKernel:
             dtype=jnp.int8,
         )
         self.M = M
+        self.mesh = mesh
+        if mesh is not None:
+            from phlash_tpu.parallel.mesh import CHUNK_AXIS
+
+            self.data = jax.device_put(
+                self.data, NamedSharding(mesh, P(CHUNK_AXIS))
+            )
+
+    def _shard_particles(self, fn, pps: PSMCParams, *args):
+        """Run `fn(pps, *args)` with pps' particle axis split over the mesh.
+
+        `args` are replicated (small observation tiles).  The particle axis
+        is padded with identity-HMM constants to a multiple of the device
+        count; outputs (leading axis = particles) are unpadded afterwards.
+        """
+        if self.mesh is None:
+            return fn(pps, *args)
+        n_dev = self.mesh.devices.size
+        axes = tuple(self.mesh.axis_names)
+        B = pps.pi.shape[0]
+        B_pad = _ceil_to(B, n_dev)
+        padded = PSMCParams(
+            *[
+                jnp.pad(
+                    leaf,
+                    [(0, B_pad - B)] + [(0, 0)] * (leaf.ndim - 1),
+                    constant_values=_PAD_VALUES[name],
+                )
+                for name, leaf in zip(PSMCParams._fields, pps)
+            ]
+        )
+        pspec = jax.tree.map(lambda _: P(axes), padded)
+        sharded = jax.shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(pspec,) + (P(),) * len(args),
+            out_specs=P(axes),
+            # pallas_call out_shapes carry no varying-manual-axes metadata
+            check_vma=False,
+        )
+        return sharded(padded, *args)[:B]
 
     @property
     def float_type(self):
@@ -139,49 +191,67 @@ class SMCKernel:
         )
         return params, _pack_pi(pi_p, pb), pb, B
 
-    def _obs_rows(self, rows: jnp.ndarray) -> jnp.ndarray:
+    def _pad_rows(self, rows: jnp.ndarray) -> jnp.ndarray:
+        "Pad raw int8 observation rows (S, L) to a seg_len multiple."
         L = rows.shape[-1]
         L_pad = _ceil_to(L, self.seg_len)
-        rows = jnp.pad(rows, [(0, 0), (0, L_pad - L)], constant_values=-2)
-        return pallas_smc.pack_obs(rows, self.seg_len)
+        return jnp.pad(rows, [(0, 0), (0, L_pad - L)], constant_values=-2)
+
+    def _replicate(self, rows: jnp.ndarray) -> jnp.ndarray:
+        "Constrain a small minibatch tile to be replicated across the mesh."
+        if self.mesh is None:
+            return rows
+        return jax.lax.with_sharding_constraint(rows, NamedSharding(self.mesh, P()))
+
+    def _loglik_local(self, pps: PSMCParams, rows: jnp.ndarray) -> jnp.ndarray:
+        "(B, S) lls from (local) particles + replicated raw obs rows (S, L)."
+        S = pps.pi.shape[1]
+        if S > MAX_CHUNKS:  # split minibatches wider than the packing limit
+            parts = []
+            for lo in range(0, S, MAX_CHUNKS):
+                hi = min(lo + MAX_CHUNKS, S)
+                sub = jax.tree.map(lambda a: a[:, lo:hi] if a.ndim == 3 else a, pps)
+                parts.append(self._loglik_local(sub, rows[lo:hi]))
+            return jnp.concatenate(parts, axis=1)
+        params, pi, pb, B = self._pack_all(pps, S)
+        obs = pallas_smc.pack_obs(rows, self.seg_len)
+        ll, _ = _structured_fwd_op(params, pi, obs, pb, self.seg_len)
+        return _unpack_ll(ll, S, pb)[:B]
+
+    def _filter_local(self, pps: PSMCParams, rows: jnp.ndarray) -> jnp.ndarray:
+        "(B, S, M) filtered states from particles + replicated prefix rows."
+        S = rows.shape[0]
+        if S > MAX_CHUNKS:
+            parts = []
+            for lo in range(0, S, MAX_CHUNKS):
+                hi = min(lo + MAX_CHUNKS, S)
+                sub = jax.tree.map(lambda a: a[:, lo:hi] if a.ndim == 3 else a, pps)
+                parts.append(self._filter_local(sub, rows[lo:hi]))
+            return jnp.concatenate(parts, axis=1)
+        params, pi, pb, B = self._pack_all(pps, S)
+        obs = pallas_smc.pack_obs(rows, self.seg_len)
+        _ll, alpha = _structured_fwd_op(params, pi, obs, pb, self.seg_len)
+        return _unpack_state(alpha, S, pb)[:B]
 
     def loglik_batched(self, pps: PSMCParams, inds) -> jnp.ndarray:
         """(B, S) log-likelihoods; pps leaves (B, S, M) (non-pi leaves must be
         chunk-invariant), inds (S,) chunk indices.
 
         Minibatches wider than the 16-chunk packing limit are split into
-        multiple kernel invocations transparently.
+        multiple kernel invocations transparently.  Under a mesh, the gather
+        pulls S rows out of the 'd'-sharded chunk tensor into a replicated
+        tile and the kernel runs particle-sharded.
         """
-        S = pps.pi.shape[1]
-        if S > MAX_CHUNKS:
-            parts = []
-            for lo in range(0, S, MAX_CHUNKS):
-                hi = min(lo + MAX_CHUNKS, S)
-                sub = jax.tree.map(lambda a: a[:, lo:hi] if a.ndim == 3 else a, pps)
-                parts.append(self.loglik_batched(sub, inds[lo:hi]))
-            return jnp.concatenate(parts, axis=1)
-        params, pi, pb, B = self._pack_all(pps, S)
-        obs = self._obs_rows(self.data[jnp.asarray(inds, dtype=jnp.int32)])
-        ll, _ = _structured_fwd_op(params, pi, obs, pb, self.seg_len)
-        return _unpack_ll(ll, S, pb)[:B]
+        rows = self._replicate(self.data[jnp.asarray(inds, dtype=jnp.int32)])
+        return self._shard_particles(self._loglik_local, pps, rows)
 
     def filter_batched(self, pps: PSMCParams, warmup: jnp.ndarray) -> jnp.ndarray:
         """Filtered state after the warmup prefixes: (B, S, M), differentiable.
 
         warmup: (S, overlap) int8 observations (shared across particles).
         """
-        S = warmup.shape[0]
-        if S > MAX_CHUNKS:
-            parts = []
-            for lo in range(0, S, MAX_CHUNKS):
-                hi = min(lo + MAX_CHUNKS, S)
-                sub = jax.tree.map(lambda a: a[:, lo:hi] if a.ndim == 3 else a, pps)
-                parts.append(self.filter_batched(sub, warmup[lo:hi]))
-            return jnp.concatenate(parts, axis=1)
-        params, pi, pb, B = self._pack_all(pps, S)
-        obs = self._obs_rows(jnp.asarray(warmup, dtype=jnp.int8))
-        _ll, alpha = _structured_fwd_op(params, pi, obs, pb, self.seg_len)
-        return _unpack_state(alpha, S, pb)[:B]
+        rows = self._replicate(self._pad_rows(jnp.asarray(warmup, dtype=jnp.int8)))
+        return self._shard_particles(self._filter_local, pps, rows)
 
     def loglik(self, pp, index):
         "Single-HMM convenience (oracle tests); pp unbatched, index scalar."

@@ -1,6 +1,9 @@
 """PSMC-compatibility entry point: fit directly from .psmcfa files.
 
-(reference: /root/reference/src/phlash/psmc.py:8-29)
+Capability match for the reference's psmc() helper
+(/root/reference/src/phlash/psmc.py:8-29): parse Li & Durbin-style
+binned-heterozygosity FASTA, optionally set aside held-out data for the
+ELPD early-stopping criterion, and hand everything to the SVGD driver.
 """
 
 from __future__ import annotations
@@ -22,14 +25,14 @@ def psmc(
     Args:
         psmcfa_files: input files (the window size is the `-s` used when the
             files were produced by fq2psmcfa, usually 100).
-        hold_out: reserve the first contig as a test set for early stopping.
+        hold_out: reserve one contig as a test set for early stopping.
         **options: forwarded to phlash_tpu.fit.
     """
-    logger.info("reading PSMC data")
-    contigs = [
-        c for f in psmcfa_files for c in RawContig.from_psmcfa_iter(f, window_size)
-    ]
-    test_data = None
-    if hold_out and len(contigs) > 1:
-        test_data = contigs.pop(0)
+    logger.info("reading PSMC data from %d file(s)", len(psmcfa_files))
+    contigs: list[RawContig] = []
+    for path in psmcfa_files:
+        contigs.extend(RawContig.from_psmcfa_iter(path, window_size))
+    if not contigs:
+        raise ValueError(f"no contigs found in {psmcfa_files}")
+    test_data = contigs.pop(0) if hold_out and len(contigs) > 1 else None
     return phlash_tpu.fit(contigs, test_data=test_data, **options)

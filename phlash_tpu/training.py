@@ -31,6 +31,16 @@ from phlash_tpu.utils import Pattern
 logger = logging.getLogger(__name__)
 
 
+def resolve_minibatch_size(options: dict, n_chunks: int, niter: int) -> int:
+    """The minibatch size S: explicit option, else sized so that a run of
+    `niter` steps visits each chunk about once (capped at 5).
+
+    Shared by the driver's device-residency cap and the training program so
+    the two can never disagree.
+    """
+    return options.get("minibatch_size") or max(1, min(5, int(n_chunks / niter)))
+
+
 @dataclass
 class TrainingProgram:
     state: SVGDState
@@ -73,7 +83,7 @@ def build_training(
         afs = jnp.asarray(afs)
 
     # minibatch size: aim to visit each chunk about once over the run
-    S = options.get("minibatch_size") or max(1, min(5, int(len(chunks) / niter)))
+    S = resolve_minibatch_size(options, len(chunks), niter)
     N = len(chunks)
 
     # Watterson-style estimate of the scaled mutation rate
@@ -126,14 +136,21 @@ def build_training(
     svgd = SVGD(batched_grad, opt, batched_grad=True)
     state = svgd.init(particles)
 
-    # device-resident data: warmup prefixes + likelihood chunks, uploaded once
+    # device-resident data: warmup prefixes + likelihood chunks, uploaded
+    # once; under a mesh both tensors shard row-wise over the chunk axis
+    mesh = options.get("mesh")
     warmup_host, data_host = np.split(chunks, [overlap], axis=1)
     warmup_dev = jnp.asarray(np.ascontiguousarray(warmup_host), dtype=jnp.int8)
+    if mesh is not None:
+        from phlash_tpu.parallel import chunk_sharding
+
+        warmup_dev = jax.device_put(warmup_dev, chunk_sharding(mesh))
     kern = get_kernel(
         M=init.M,
         data=np.ascontiguousarray(data_host),
         double_precision=options.get("double_precision", False),
         backend=options.get("kernel_backend"),
+        mesh=mesh,
     )
 
     # unbiased minibatch gradients: HMM term scaled by N / S

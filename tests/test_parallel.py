@@ -69,3 +69,67 @@ def test_sharding_specs():
     assert particle_sharding(mesh).spec == jax.sharding.PartitionSpec("p")
     assert chunk_sharding(mesh).spec == jax.sharding.PartitionSpec("d")
     assert replicated(mesh).spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_pallas_forward_matches_dense():
+    """The production structured kernel under shard_map on the (p, d) mesh.
+
+    Interpret mode (no TPU cores here); values must equal the dense XLA
+    backend.  The sharded adjoint is minutes-slow under interpretation, so
+    gradient equivalence on the mesh is covered by tools/tpu_check.py on
+    real hardware instead.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from phlash_tpu.ops.kernel_dense import DenseKernel
+    from phlash_tpu.ops.kernel_smc import SMCKernel
+    from phlash_tpu.params import PSMCParams
+    from phlash_tpu.size_history import DemographicModel
+
+    rng = np.random.default_rng(2)
+    data = rng.binomial(1, 0.05, size=(4, 64)).astype(np.int8)
+    data[0, 10:20] = -1
+    dm = DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
+    pp = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm))
+    B, S = 16, 2
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp)
+    inds = jnp.arange(S)
+
+    mesh = make_mesh(8)
+    kern = SMCKernel(M_=16, data=data, seg_len=32, mesh=mesh)
+    with pltpu.force_tpu_interpret_mode():
+        ll = jax.jit(kern.loglik_batched)(pps, inds)
+    assert len(ll.sharding.device_set) == 8  # actually ran distributed
+
+    dense = DenseKernel(M=16, data=data)
+    want = dense.loglik_batched(jax.tree.map(lambda a: a.astype(jnp.float64), pps), inds)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(want), rtol=1e-4)
+
+
+def test_sharded_pallas_filter_matches_dense():
+    "filter_batched (warmup-pi path) under the mesh, vs the dense backend."
+    from jax.experimental.pallas import tpu as pltpu
+
+    from phlash_tpu.ops.kernel_dense import DenseKernel
+    from phlash_tpu.ops.kernel_smc import SMCKernel
+    from phlash_tpu.params import PSMCParams
+    from phlash_tpu.size_history import DemographicModel
+
+    rng = np.random.default_rng(3)
+    data = rng.binomial(1, 0.05, size=(4, 64)).astype(np.int8)
+    warmup = rng.binomial(1, 0.05, size=(2, 32)).astype(np.int8)
+    dm = DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
+    pp = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm))
+    B = 16
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), pp)
+
+    mesh = make_mesh(8)
+    kern = SMCKernel(M_=16, data=data, seg_len=32, mesh=mesh)
+    with pltpu.force_tpu_interpret_mode():
+        pis = jax.jit(kern.filter_batched)(pps, warmup)
+
+    dense = DenseKernel(M=16, data=data)
+    want = dense.filter_batched(
+        jax.tree.map(lambda a: a.astype(jnp.float64), pps), warmup
+    )
+    np.testing.assert_allclose(np.asarray(pis), np.asarray(want), rtol=1e-4, atol=1e-7)

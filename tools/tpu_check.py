@@ -68,6 +68,36 @@ def main() -> int:
         failures += status == "FAIL"
         print(f"grad {name}: maxrel {rel:.2e} {status}")
 
+    # production kernel under a mesh: one full SVGD step, sharded vs not.
+    # (single-chip machines get a (1, 1) mesh — still the shard_map path.)
+    from phlash_tpu.parallel import make_mesh, shard_training_step
+    from phlash_tpu.training import build_training
+
+    mesh = make_mesh(len(jax.devices()))
+    chunks = rng.binomial(1, 0.05, size=(16, 1000)).astype(np.int8)
+    afs = np.array([50, 20, 10, 5, 2], dtype=np.int64)
+    opts = dict(num_particles=16, minibatch_size=2, kernel_backend="pallas", niter=10)
+    key = jax.random.PRNGKey(0)
+    prog = build_training(
+        chunks, afs, window_size=100, overlap=200, key=key, options=dict(opts, mesh=mesh)
+    )
+    place, jit_step = shard_training_step(prog.step, mesh)
+    state = place(prog.state)
+    got = jax.block_until_ready(jit_step(state)(state, jax.random.PRNGKey(1)))
+    prog0 = build_training(
+        chunks, afs, window_size=100, overlap=200, key=key, options=opts
+    )
+    want = jax.jit(prog0.step)(prog0.state, jax.random.PRNGKey(1))
+    rel = max(
+        float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-12))
+        for a, b in zip(jax.tree.leaves(got.particles), jax.tree.leaves(want.particles))
+    )
+    status = "ok" if rel < 5e-5 else "FAIL"
+    failures += status == "FAIL"
+    print(
+        f"mesh {mesh.devices.shape} pallas SVGD step vs unsharded: maxrel {rel:.2e} {status}"
+    )
+
     print("PASS" if failures == 0 else f"FAIL ({failures})")
     return 1 if failures else 0
 
