@@ -3,7 +3,8 @@
 Workload (from BASELINE.json / SURVEY.md §6): M=16 TMRCA states, B=500 SVGD
 particles, minibatch of S=5 chunks, float32 — the shape of one SVGD
 gradient step's dominant term.  Metric: Msites/sec/chip for the
-value-and-gradient pass (sites = B * S * L observation columns).
+value-and-gradient pass (sites = B * S * L observation columns); the
+forward-only throughput is reported alongside in "extra".
 
 Baseline: the reference's portable kernel semantics — the per-site
 rematerialized O(M) `lax.scan` forward (reference src/phlash/hmm.py:68-82,
@@ -12,8 +13,15 @@ the SAME chip.  (The reference publishes no numbers and its CUDA kernel
 cannot run here; BASELINE.md directs that baselines be measured, not
 copied.)
 
+Timing note: the TPU here is reached through a remote tunnel whose
+dispatch/sync latency (~10-20 ms) would swamp a per-call measurement, and
+`block_until_ready` is not a reliable fence on it.  Production SVGD steps
+chain back-to-back with no host sync, so the representative number is the
+amortized per-call time: dispatch `inner` calls, sync once on a scalar
+transfer, divide.
+
 Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": "Msites/sec", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "Msites/sec", "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -26,13 +34,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _measure(grad_fn, pps, sites: int, reps: int = 3) -> float:
-    jax.block_until_ready(grad_fn(pps))  # compile + warm
+def _measure(fn, arg, sites: int, reps: int = 3, inner: int = 10) -> float:
+    "Amortized per-call Msites/sec (see timing note in the module docstring)."
+
+    def sync(out):
+        return float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32).ravel()[:8]))
+
+    sync(fn(arg))  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(grad_fn(pps))
-        best = min(best, time.perf_counter() - t0)
+        out = None
+        for _ in range(inner):
+            out = fn(arg)
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
     return sites / best / 1e6
 
 
@@ -58,6 +74,7 @@ def main():
     def loss(p):
         return kern.loglik_batched(p, inds).sum()
 
+    ours_fwd = _measure(jax.jit(loss), pps, B * S * L)
     ours = _measure(jax.jit(jax.grad(loss)), pps, B * S * L)
 
     # --- reference-equivalent scan kernel, same chip ---
@@ -67,7 +84,7 @@ def main():
         per = jax.vmap(base_kern.loglik, (0, 0))
         return jax.vmap(per, (0, None))(p, inds).sum()
 
-    base = _measure(jax.jit(jax.grad(base_loss)), pps, B * S * L_base)
+    base = _measure(jax.jit(jax.grad(base_loss)), pps, B * S * L_base, inner=3)
 
     print(
         json.dumps(
@@ -76,6 +93,10 @@ def main():
                 "value": round(ours, 1),
                 "unit": "Msites/sec",
                 "vs_baseline": round(ours / base, 2),
+                "extra": {
+                    "fwd_only_Msites_per_sec": round(ours_fwd, 1),
+                    "baseline_fwd_grad_Msites_per_sec": round(base, 1),
+                },
             }
         )
     )
