@@ -1,6 +1,6 @@
 """Simulation harness for validation and benchmarking.
 
-Two tiers (capability parity with /root/reference/src/phlash/sim.py:28-308):
+Three tiers (capability parity with /root/reference/src/phlash/sim.py:28-308):
 
 * `simulate_hmm` — a self-contained, jit-compiled simulator that draws
   observation sequences directly from the discretized SMC' HMM implied by a
@@ -12,12 +12,19 @@ Two tiers (capability parity with /root/reference/src/phlash/sim.py:28-308):
 * `stdpopsim_dataset` / `compute_truth` — published-catalog simulations via
   stdpopsim/msprime when those optional packages are installed (they are not
   required; an informative ImportError is raised otherwise).
+
+* `simulate_scrm` — coalescent simulation through an external `scrm`
+  executable for chromosomes whose scaled recombination rate 4*N0*r*L
+  exceeds what msprime handles comfortably (the reference switches engines
+  at 1e5, sim.py:165-173).  The transposed-segsites stream is parsed
+  straight into a binned RawContig — no intermediate synthetic VCF.
 """
 
 from __future__ import annotations
 
 import logging
 from functools import partial
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +127,147 @@ def bottleneck_demography(theta: float = 1e-2, M: int = 16) -> DemographicModel:
     return base._replace(eta=SizeHistory(t=t, c=c))
 
 
+# -- scrm subprocess tier -----------------------------------------------------
+
+# above this scaled recombination rate (4 N0 r L) msprime's exact ARG sampler
+# becomes impractically slow and the SMC-approximating scrm takes over
+# (engine-switch parity with /root/reference/src/phlash/sim.py:165-173)
+SCRM_RHO_THRESHOLD = 1e5
+
+
+def mean_coal_N0(model, populations: list[str]) -> float:
+    """Effective N0 = (mean pairwise coalescence time) / 2 for the sampled
+    populations (reference sim.py:127-132).  Requires msprime."""
+    dbg = model.model.debug()
+    if len(populations) == 1:
+        lineages = {populations[0]: 2}
+    else:
+        assert len(populations) == 2
+        lineages = {p: 1 for p in populations}
+    return float(dbg.mean_coalescence_time(lineages)) / 2.0
+
+
+def build_scrm_command(
+    graph,
+    samples_per_deme: list[int],
+    N0: float,
+    theta: float,
+    rho: float,
+    L: int,
+    seed: int,
+) -> list[str]:
+    """Assemble the scrm argv for one chromosome.
+
+    `graph` is a demes.Graph; demes.to_ms renders the demography flags.
+    Emits --transpose-segsites (site-major output, parsed by
+    parse_scrm_stream) and -oSFS; very large samples get the `-l 100r`
+    window approximation, as in the reference (sim.py:191-233).
+    """
+    import os
+    import shlex
+
+    import demes
+
+    n_hap = sum(samples_per_deme)
+    demo_flags = shlex.split(demes.to_ms(graph, N0=N0, samples=samples_per_deme))
+    argv = [os.environ.get("SCRM_PATH", "scrm"), str(n_hap), "1"]
+    argv += demo_flags
+    argv += ["-t", str(theta), "-r", str(rho), str(int(L))]
+    argv += ["--transpose-segsites", "-SC", "abs", "-p", "14", "-oSFS", "-seed", str(seed)]
+    if n_hap > 200:
+        argv += ["-l", "100r"]
+    return argv
+
+
+def parse_scrm_stream(lines: Iterable[str], window_size: int = 100) -> RawContig:
+    """Parse `scrm ... --transpose-segsites` output into a binned RawContig.
+
+    The stream layout: an echoed command line (from which the sequence
+    length L and haplotype count are recovered), assorted preamble, a
+    header line starting with "position", then one line per segregating
+    site: `position time hap0 hap1 ...`.  Haplotypes 2i and 2i+1 form
+    diploid individual i; a window is heterozygous-counted when the pair
+    differs, and the derived-allele total feeds the AFS.  (The reference
+    instead renders a synthetic VCF and re-parses it, sim.py:255-293; going
+    straight to the binned matrix skips that round trip.)
+    """
+    it = iter(lines)
+    argv = next(it).split()
+    if not argv or "scrm" not in argv[0]:
+        raise ValueError(f"not an scrm stream (first line: {' '.join(argv[:4])!r})")
+    n_hap = int(argv[1])
+    if n_hap % 2:
+        raise ValueError("scrm output must have an even haplotype count")
+    L = int(float(argv[argv.index("-r") + 2]))
+    n_dip = n_hap // 2
+
+    for line in it:
+        if line.startswith("position"):
+            break
+    else:
+        raise ValueError("no transposed-segsites section found in scrm output")
+
+    W = -(-L // window_size)
+    het = np.zeros((n_dip, W), dtype=np.int32)
+    afs = np.zeros(max(n_hap - 1, 1), dtype=np.int64)
+    for line in it:
+        if not line.strip() or line.startswith(("SFS:", "//")):
+            continue
+        fields = line.split()
+        pos = min(int(float(fields[0])), L - 1)
+        alleles = np.frombuffer(
+            " ".join(fields[2:]).replace(" ", "").encode(), dtype=np.uint8
+        ) - ord("0")
+        if alleles.size != n_hap:
+            raise ValueError(
+                f"variant row has {alleles.size} haplotypes, expected {n_hap}"
+            )
+        pairs = alleles.reshape(n_dip, 2)
+        het[:, pos // window_size] += pairs[:, 0] != pairs[:, 1]
+        k = int(alleles.sum())
+        if 0 < k < n_hap:
+            afs[k - 1] += 1
+    return RawContig(
+        het_matrix=het.clip(-1, 127).astype(np.int8), afs=afs, window_size=window_size
+    )
+
+
+def simulate_scrm(
+    model,
+    chrom,
+    populations: dict[str, int],
+    N0: float,
+    seed: int,
+    window_size: int = 100,
+) -> RawContig:
+    """Simulate one stdpopsim contig through an external scrm process.
+
+    model/chrom: stdpopsim DemographicModel / Contig.  Raises if the scrm
+    executable (env SCRM_PATH, default "scrm") is unavailable.
+    """
+    import subprocess
+
+    (interval,) = chrom.interval_list[0]
+    assert interval[0] == 0.0
+    L = int(interval[1])
+    theta = 4 * N0 * chrom.mutation_rate * L
+    rho = 4 * N0 * float(chrom.recombination_map.rate[0]) * L
+    graph = model.model.to_demes()
+    samples = [0] * len(graph.demes)
+    names = [d.name for d in graph.demes]
+    for pop, n in populations.items():
+        samples[names.index(pop)] += 2 * n
+    argv = build_scrm_command(graph, samples, N0, theta, rho, L, seed)
+    logger.debug("running %s", " ".join(argv))
+    with subprocess.Popen(
+        argv, stdout=subprocess.PIPE, text=True, bufsize=1
+    ) as proc:
+        contig = parse_scrm_stream(proc.stdout, window_size)
+    if proc.returncode:
+        raise RuntimeError(f"scrm exited with status {proc.returncode}")
+    return contig
+
+
 # -- optional stdpopsim/msprime tier -----------------------------------------
 
 
@@ -143,10 +291,11 @@ def stdpopsim_dataset(
     """Simulate a published stdpopsim catalog model into Contigs.
 
     Capability parity with the reference harness
-    (/root/reference/src/phlash/sim.py:28-102), msprime engine only (the
-    reference also shells out to scrm for very large scaled recombination
-    rates; msprime handles the catalog models used in the phlash paper).
-    Requires the optional `stdpopsim` package.
+    (/root/reference/src/phlash/sim.py:28-102): chromosomes whose scaled
+    recombination rate 4*N0*r*L exceeds SCRM_RHO_THRESHOLD are simulated
+    through an external scrm process (with automatic msprime fallback);
+    everything else uses msprime.  `options={"engine": "scrm"|"msprime"}`
+    forces a choice.  Requires the optional `stdpopsim` package.
 
     Args:
         species_id: e.g. "HomSap".
@@ -183,6 +332,8 @@ def stdpopsim_dataset(
     pop_dict = {pop.name: 0 for pop in model.populations}
     pop_dict.update(populations)
     samples = {p: n for p, n in pop_dict.items() if n > 0}
+    engine_opt = options.get("engine")  # None = auto, "msprime", "scrm"
+    N0 = None
     data = {}
     for i, chrom in enumerate(keep):
         spec = species.get_contig(
@@ -190,6 +341,21 @@ def stdpopsim_dataset(
             mutation_rate=mu,
             length_multiplier=options.get("length_multiplier", 1.0),
         )
+        choice = engine_opt
+        if choice is None:
+            if N0 is None:
+                N0 = mean_coal_N0(model, list(samples))
+            L_c = float(spec.interval_list[0][0, 1])
+            rho_scaled = 4 * N0 * float(spec.recombination_map.rate[0]) * L_c
+            choice = "scrm" if rho_scaled > SCRM_RHO_THRESHOLD else "msprime"
+        if choice == "scrm":
+            if N0 is None:
+                N0 = mean_coal_N0(model, list(samples))
+            try:
+                data[chrom] = simulate_scrm(model, spec, samples, N0, seed + i)
+                continue
+            except Exception as e:
+                logger.warning("scrm failed for %s (%s); using msprime", chrom, e)
         ts = engine.simulate(model, spec, samples, seed=seed + i)
         nodes = [tuple(ind.nodes) for ind in ts.individuals()]
         data[chrom] = TreeSequenceContig(ts, nodes=nodes)

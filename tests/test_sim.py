@@ -46,3 +46,74 @@ def test_true_model_scores_higher():
     ll_true = float(psmc_ll_dm(truth, obs)[1])
     ll_wrong = float(psmc_ll_dm(wrong, obs)[1])
     assert ll_true > ll_wrong
+
+
+# -- scrm transposed-segsites parser ------------------------------------------
+
+
+def _canned_scrm(L=1000, variants=None):
+    """A miniature scrm --transpose-segsites stream: 4 haplotypes (2 diploids).
+
+    Format as emitted by scrm 1.7 (echoed command, // rep marker, a
+    'position' header, then `pos time hap...` rows and a trailing SFS line).
+    """
+    variants = variants or [
+        (12.3, "0 1 0 0"),   # dip0 het, dip1 hom -> k=1
+        (130.9, "1 1 0 1"),  # dip0 hom, dip1 het -> k=3
+        (131.2, "0 1 1 0"),  # both het          -> k=2
+        (999.0, "1 1 1 1"),  # fixed: no het, not in AFS (k=n)
+    ]
+    lines = [
+        f"scrm 4 1 -t 10 -r 5 {L} --transpose-segsites -SC abs -p 14 -oSFS -seed 1",
+        "987654 321 42",
+        "",
+        "//",
+        "position time",
+    ]
+    lines += [f"{p} 0.5 {g}" for p, g in variants]
+    lines.append("SFS: 1 2 0")
+    return lines
+
+
+def test_parse_scrm_stream():
+    from phlash_tpu.sim import parse_scrm_stream
+
+    contig = parse_scrm_stream(_canned_scrm(), window_size=100)
+    assert contig.het_matrix.shape == (2, 10)
+    want0 = np.zeros(10, int)
+    want0[0] = 1  # pos 12
+    want0[1] = 1  # pos 131
+    want1 = np.zeros(10, int)
+    want1[1] = 2  # pos 130 and 131
+    np.testing.assert_array_equal(contig.het_matrix[0], want0)
+    np.testing.assert_array_equal(contig.het_matrix[1], want1)
+    np.testing.assert_array_equal(contig.afs, [1, 1, 1])  # k = 1, 2, 3
+    assert contig.window_size == 100
+
+
+def test_parse_scrm_stream_position_clipping():
+    "A site exactly at L lands in the final window, not out of bounds."
+    from phlash_tpu.sim import parse_scrm_stream
+
+    contig = parse_scrm_stream(
+        _canned_scrm(L=1000, variants=[(1000.0, "0 1 0 0")]), window_size=100
+    )
+    assert contig.het_matrix[0, 9] == 1
+
+
+def test_parse_scrm_stream_rejects_garbage():
+    import pytest as _pytest
+
+    from phlash_tpu.sim import parse_scrm_stream
+
+    with _pytest.raises(ValueError):
+        parse_scrm_stream(["msprime 4 1"], window_size=100)
+    with _pytest.raises(ValueError):
+        parse_scrm_stream(["scrm 4 1 -t 1 -r 5 100"], window_size=100)  # no body
+
+
+def test_scrm_threshold_constant():
+    "Engine switch point matches the reference (sim.py:165-173)."
+    from phlash_tpu.sim import SCRM_RHO_THRESHOLD
+
+    assert SCRM_RHO_THRESHOLD == 1e5
