@@ -376,49 +376,96 @@ class VcfContig(Contig):
         except ImportError:
             return _iter_vcf_text(self.vcf_file, self.contig, start, end, self.samples)
 
-    def _get_data_fast(self, window_size: int) -> dict[str, np.ndarray] | None:
-        """Vectorized path: C tokenizer over the raw text + numpy windowing.
+    # streaming block size: large enough to amortize the C-tokenizer call,
+    # small enough that memory stays O(block) for whole-genome inputs
+    _STREAM_BLOCK = 16 << 20
 
-        Only for text VCFs (pysam handles .bcf); returns None when the
-        native extension is unavailable.
+    def _iter_line_blocks(self) -> Iterable[bytes]:
+        """Yield the file as blocks of complete lines (~_STREAM_BLOCK bytes).
+
+        Works for plain and gzip text (gzip decompresses incrementally —
+        BGZF files are valid multi-member gzip streams, so tabix-compressed
+        .vcf.gz inputs stream too).  This replaces the whole-file read: a
+        3 Gb-genome VCF never has more than one block resident.
+        """
+        opener = gzip.open if self.vcf_file.endswith(".gz") else open
+        tail = b""
+        with opener(self.vcf_file, "rb") as fh:
+            while True:
+                block = fh.read(self._STREAM_BLOCK)
+                if not block:
+                    break
+                block = tail + block
+                cut = block.rfind(b"\n")
+                if cut < 0:
+                    tail = block
+                    continue
+                tail, block = block[cut + 1:], block[: cut + 1]
+                yield block
+        if tail:
+            yield tail
+
+    def _get_data_fast(self, window_size: int) -> dict[str, np.ndarray] | None:
+        """Streaming vectorized path: C tokenizer over ~16 MB blocks of
+        complete lines + incremental numpy windowing.  Memory is O(block +
+        windows), independent of file size; for region queries on sorted
+        VCFs the scan stops as soon as the region has been passed.
+
+        Only for text VCFs (.bcf decodes through io.bcf / pysam); returns
+        None when the native extension is unavailable.
         """
         if self.vcf_file.endswith(".bcf"):
             return None
         try:
-            from phlash_tpu.io import parse_vcf_lines
+            from phlash_tpu.io import parse_vcf_lines, vcf_parser_backend
         except Exception:  # pragma: no cover - optional component
             return None
-        opener = gzip.open if self.vcf_file.endswith(".gz") else open
-        with opener(self.vcf_file, "rb") as fh:
-            text = fh.read()
-        # locate the header to map sample names -> tab columns
-        hdr_at = text.find(b"#CHROM")
-        if hdr_at < 0:
-            raise ValueError("malformed VCF: no #CHROM header line")
-        hdr = text[hdr_at: text.index(b"\n", hdr_at)].decode().split("\t")
-        all_samples = hdr[9:]
-        missing = set(self.samples) - set(all_samples)
-        if missing:
-            raise ValueError(f"samples not found in the vcf: {missing}")
-        cols = sorted(9 + all_samples.index(s) for s in self.samples)
-        # requested order within the ascending-column output
-        order = np.argsort(np.argsort([9 + all_samples.index(s) for s in self.samples]))
-        parsed = parse_vcf_lines(text, cols, contig=self.contig)
-        if parsed is None:
+        if vcf_parser_backend() != "c":
             return None
-        pos, het, nd = parsed
-        het = het[:, order]
+
         start, end = self.interval
-        keep = (pos >= start) & (pos <= end)
-        pos, het, nd = pos[keep], het[keep], nd[keep]
         S = len(self.samples)
         W = (end - start + 1) // window_size
-        win = np.minimum((pos - start) // window_size, W - 1).astype(np.int64)
         H = np.zeros([S, W], dtype=bool)
-        hot = het.T > 0  # (S, R)
-        rows = np.broadcast_to(np.arange(S)[:, None], hot.shape)
-        np.logical_or.at(H, (rows, np.broadcast_to(win[None], hot.shape)), hot)
-        afs = np.bincount(nd, minlength=2 * S + 1)[: 2 * S + 1].astype(np.int64)
+        afs = np.zeros(2 * S + 1, dtype=np.int64)
+        cols = order = None
+        seen_region = False
+        for block in self._iter_line_blocks():
+            if cols is None:  # header not located yet
+                hdr_at = block.find(b"#CHROM")
+                if hdr_at < 0:
+                    continue
+                hdr = block[hdr_at: block.index(b"\n", hdr_at)].decode().split("\t")
+                all_samples = hdr[9:]
+                missing = set(self.samples) - set(all_samples)
+                if missing:
+                    raise ValueError(f"samples not found in the vcf: {missing}")
+                cols = sorted(9 + all_samples.index(s) for s in self.samples)
+                order = np.argsort(
+                    np.argsort([9 + all_samples.index(s) for s in self.samples])
+                )
+            parsed = parse_vcf_lines(block, cols, contig=self.contig)
+            if parsed is None:  # pragma: no cover - backend vanished mid-file
+                return None
+            pos, het, nd = parsed
+            if len(pos) == 0:
+                if seen_region:  # sorted VCF: the contig's section has ended
+                    break
+                continue
+            keep = (pos >= start) & (pos <= end)
+            past = bool((pos > end).any())
+            pos, het, nd = pos[keep], het[keep][:, order], nd[keep]
+            if len(pos):
+                seen_region = True
+                win = np.minimum((pos - start) // window_size, W - 1).astype(np.int64)
+                hot = het.T > 0  # (S, R)
+                rows = np.broadcast_to(np.arange(S)[:, None], hot.shape)
+                np.logical_or.at(H, (rows, np.broadcast_to(win[None], hot.shape)), hot)
+                afs += np.bincount(nd, minlength=2 * S + 1)[: 2 * S + 1]
+            if past:  # sorted VCF: everything further is beyond the interval
+                break
+        if cols is None:
+            raise ValueError("malformed VCF: no #CHROM header line")
         return dict(het_matrix=H.astype(np.int8), afs=afs[1:-1])
 
     def get_data(self, window_size: int = 100) -> dict[str, np.ndarray]:

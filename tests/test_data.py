@@ -94,6 +94,41 @@ def test_vcf_parser(tmp_path, gz):
     assert d["afs"].sum() == 4
 
 
+def _synthetic_vcf(n_records, contigs=("chr1",), spacing=37):
+    "Deterministic sorted multi-record VCF body for streaming tests."
+    lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsA\tsB",
+    ]
+    for chrom in contigs:
+        for i in range(n_records):
+            pos = 1 + i * spacing
+            ga = "0/1" if i % 3 == 0 else "1/1"
+            gb = "0/0" if i % 2 == 0 else "0/1"
+            lines.append(f"{chrom}\t{pos}\t.\tA\tT\t.\tPASS\t.\tGT\t{ga}\t{gb}")
+    return "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_vcf_streaming_blocks(tmp_path, monkeypatch, gz):
+    "Block-streamed parse (tiny blocks) must equal the single-block parse."
+    text = _synthetic_vcf(4000, contigs=("chr0", "chr1", "chr2"))
+    p = tmp_path / ("s.vcf.gz" if gz else "s.vcf")
+    if gz:
+        with gzip.open(p, "wt") as f:
+            f.write(text)
+    else:
+        p.write_text(text)
+    region = "chr1:1-148000"
+    big = contig(str(p), samples=["sA", "sB"], region=region).get_data(100)
+    # force many blocks, including ones that split lines mid-record
+    monkeypatch.setattr(VcfContig, "_STREAM_BLOCK", 1 << 12)
+    small = contig(str(p), samples=["sA", "sB"], region=region).get_data(100)
+    np.testing.assert_array_equal(big["het_matrix"], small["het_matrix"])
+    np.testing.assert_array_equal(big["afs"], small["afs"])
+    assert big["het_matrix"].any() and big["afs"].sum() == 4000
+
+
 def test_vcf_requires_region(tmp_path):
     p = tmp_path / "t.vcf"
     p.write_text(VCF_TEXT)
