@@ -7,9 +7,10 @@ aggregate allele-frequency spectrum.  Capability parity with the reference
 
 * chunk tensors are emitted in a single contiguous int8 array sized for one
   HBM upload;
-* the psmcfa and VCF text parsers are self-contained (no pysam needed for
-  .psmcfa/.vcf/.vcf.gz; pysam, when installed, is used for .bcf and is
-  preferred for VCF); tskit is optional for tree sequences;
+* ingestion is self-contained: psmcfa and VCF text parsers plus a native
+  BCF2.2/BGZF reader (phlash_tpu.io.bcf) need no pysam; pysam, when
+  installed, is preferred for its indexed region fetch; tskit is optional
+  for tree sequences;
 * interval masking uses plain numpy interval arithmetic (no intervaltree).
 """
 
@@ -50,19 +51,15 @@ def chunk_het_matrix(het_matrix: np.ndarray, overlap: int, chunk_size: int) -> n
     (layout contract as in reference data.py:37-61; verified by
     tests/test_data.py chunker invariant)
     """
-    data = np.ascontiguousarray(het_matrix.clip(-1, 1).astype(np.int8))
+    data = het_matrix.clip(-1, 1).astype(np.int8)
     assert data.ndim == 2
     N, L = data.shape
     span = chunk_size + overlap
     n_chunks = max(1, -(-L // span))
-    L_pad = n_chunks * span
-    padded = np.pad(data, [[0, 0], [0, L_pad - L]], constant_values=-1)
-    view = np.lib.stride_tricks.as_strided(
-        padded,
-        shape=(N, n_chunks, span),
-        strides=(padded.strides[0], padded.strides[1] * chunk_size, padded.strides[1]),
-    )
-    return view.reshape(-1, span).copy()
+    padded = np.pad(data, [[0, 0], [0, n_chunks * span - L]], constant_values=-1)
+    # one gather: chunk k of every row reads columns [k*chunk_size, k*chunk_size + span)
+    cols = np.arange(n_chunks)[:, None] * chunk_size + np.arange(span)[None, :]
+    return padded[:, cols].reshape(-1, span)
 
 
 def _mask_to_bool(mask: list[tuple[int, int]] | None, L: int, window: int) -> np.ndarray:
@@ -239,21 +236,27 @@ def _mask_breakpoints(mask: list[tuple[int, int]], L: int):
 
 
 def _read_ts(ts, nodes, window_size: int, progress: bool = False) -> np.ndarray:
-    "Windowed heterozygote counts for each diploid pair from a tree sequence."
-    nodes_flat = sorted({x for pair in nodes for x in pair})
-    idx = np.array([[nodes_flat.index(x) for x in pair] for pair in nodes])
-    N = len(nodes)
-    L = int(np.ceil(ts.get_sequence_length() / window_size))
-    G = np.zeros([N, L], dtype=np.int8)
-    iterator = ts.variants(samples=nodes_flat, copy=False)
+    """Windowed heterozygote counts for each diploid pair from a tree sequence.
+
+    The genotype vector each tskit variant yields is ordered by our sample
+    list, so the two haplotypes of pair i sit at precomputed columns
+    (lhs[i], rhs[i]); a variant contributes g[lhs] != g[rhs] to its window.
+    """
+    order = sorted({n for pair in nodes for n in pair})
+    at = {n: i for i, n in enumerate(order)}
+    lhs = np.array([at[a] for a, _ in nodes])
+    rhs = np.array([at[b] for _, b in nodes])
+    n_windows = -(-int(ts.get_sequence_length()) // window_size)
+    out = np.zeros([len(nodes), n_windows], dtype=np.int8)
+    variants = ts.variants(samples=order, copy=False)
     if progress:
         import tqdm.auto as tqdm
 
-        iterator = tqdm.tqdm(iterator, total=ts.num_sites, desc="Reading tree sequence")
-    for v in iterator:
-        g = v.genotypes[idx]
-        G[:, int(v.position / window_size)] += g[:, 0] != g[:, 1]
-    return G
+        variants = tqdm.tqdm(variants, total=ts.num_sites, desc="Reading tree sequence")
+    for v in variants:
+        g = v.genotypes
+        out[:, int(v.position) // window_size] += g[lhs] != g[rhs]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -307,21 +310,27 @@ def _iter_vcf_text(path: str, contig: str, start: int, end: int, samples: list[s
 
 
 def _iter_vcf_pysam(path: str, contig: str, start: int, end: int, samples: list[str]):
+    """Region-indexed record iteration through pysam (.bcf / tabixed .vcf.gz).
+
+    Yields the same {'pos', 'het', 'nd'} records as the text parser: a call
+    is het when its two alleles differ, missing (-1) when either allele is
+    absent, and every non-reference allele counts toward nd.
+    """
     import pysam
 
-    vcf = pysam.VariantFile(path)
-    vcf.subset_samples(samples)
-    for rec in vcf.fetch(contig=contig, start=start, stop=end):
-        het = np.zeros(len(samples), dtype=np.int8)
-        nd = 0
-        for i, s in enumerate(samples):
-            gt = rec.samples[s]["GT"]
-            if gt is None or None in gt:
-                het[i] = -1
-            else:
-                het[i] = gt[0] != gt[1]
-            nd += sum(g != 0 and g is not None for g in gt)
-        yield dict(pos=rec.pos, het=het, nd=nd)
+    with pysam.VariantFile(path) as vf:
+        vf.subset_samples(samples)
+        for rec in vf.fetch(contig=contig, start=start, stop=end):
+            calls = [tuple(rec.samples[s]["GT"] or ()) for s in samples]
+            het = np.array(
+                [
+                    -1 if (len(gt) != 2 or None in gt) else int(gt[0] != gt[1])
+                    for gt in calls
+                ],
+                dtype=np.int8,
+            )
+            nd = sum(1 for gt in calls for g in gt if g not in (None, 0))
+            yield dict(pos=rec.pos, het=het, nd=nd)
 
 
 @dataclass(frozen=True)
@@ -329,7 +338,7 @@ class VcfContig(Contig):
     """Data from a VCF/BCF file restricted to one region.
 
     Args:
-        vcf_file: path to a .vcf, .vcf.gz or .bcf file (.bcf needs pysam)
+        vcf_file: path to a .vcf, .vcf.gz or .bcf file
         samples: sample ids to include
         contig: contig (chromosome) name
         interval: (start, end) positions
@@ -367,14 +376,18 @@ class VcfContig(Contig):
         return self.interval[1] - self.interval[0]
 
     def _records(self, start, end):
-        if self.vcf_file.endswith(".bcf"):
-            return _iter_vcf_pysam(self.vcf_file, self.contig, start, end, self.samples)
+        args = (self.vcf_file, self.contig, start, end, self.samples)
         try:
-            import pysam  # noqa: F401  (prefer pysam when present: faster fetch)
+            import pysam  # noqa: F401  (prefer pysam when present: indexed fetch)
 
-            return _iter_vcf_pysam(self.vcf_file, self.contig, start, end, self.samples)
+            return _iter_vcf_pysam(*args)
         except ImportError:
-            return _iter_vcf_text(self.vcf_file, self.contig, start, end, self.samples)
+            pass
+        if self.vcf_file.endswith(".bcf"):
+            from phlash_tpu.io.bcf import iter_bcf  # native BCF2.2 reader
+
+            return iter_bcf(*args)
+        return _iter_vcf_text(*args)
 
     # streaming block size: large enough to amortize the C-tokenizer call,
     # small enough that memory stays O(block) for whole-genome inputs

@@ -23,7 +23,7 @@ import numpy as np
 from jax import vmap
 
 from phlash_tpu.ppoly import PPoly
-from phlash_tpu.utils import Pattern, expm1inv
+from phlash_tpu.utils import Pattern, texp_mean
 
 
 class SizeHistory(NamedTuple):
@@ -118,20 +118,18 @@ class SizeHistory(NamedTuple):
     def ect(self):
         """Expected coalescence time conditional on coalescing in each epoch.
 
-        Closed form E[T | T in [t0,t1)] = 1/c + t0 - dt/(e^{c dt} - 1) with
-        guards at c→0 (midpoint) and c→inf (left endpoint) so float32
-        gradients stay finite.
-        (reference: /root/reference/src/phlash/size_history.py:170-193)
+        Within a finite epoch [t0, t1) at rate c, T - t0 is an exponential
+        truncated to [0, dt], so E[T | epoch] = t0 + dt * g(c*dt) where g is
+        the unit-truncated-exponential mean (`texp_mean`, which owns the
+        numeric guards: c*dt -> 0 gives the epoch midpoint, -> inf the left
+        endpoint, with finite gradients throughout).  The final epoch is an
+        untruncated exponential: t_{M-1} + 1/c.
+        (capability match: reference size_history.py:170-193, which instead
+        special-cases c > 100; the g() form stays exact there.)
         """
-        c = self.c[:-1]
-        near_zero = jnp.isclose(c, 0.0)
-        near_inf = jnp.isinf(c) | (c > 100.0)
-        c_ok = jnp.where(near_zero | near_inf, 1.0, c)
-        t0, t1 = self.t[:-1], self.t[1:]
-        dt = t1 - t0
-        generic = 1.0 / c_ok + t0 - dt * expm1inv(c_ok * dt)
-        e = jnp.select([near_zero, near_inf], [(t0 + t1) / 2.0, t0], generic)
-        e = jnp.append(e, self.t[-1] + 1.0 / self.c[-1])
+        t0, dt = self.t[:-1], jnp.diff(self.t)
+        inner = t0 + dt * texp_mean(self.c[:-1] * dt)
+        e = jnp.append(inner, self.t[-1] + 1.0 / self.c[-1])
         return jnp.maximum(e, 1e-20)  # zero expected times break downstream logs
 
     @property
@@ -313,23 +311,25 @@ class DemographicModel(NamedTuple):
 
 
 def _W_matrix(n: int) -> np.ndarray:
-    """Polanski–Kimmel W matrix (Polanski 2013 eqs. 13–15), exact rationals.
+    """Polanski–Kimmel W matrix (Polanski & Kimmel 2003, eqs. 13–15).
 
-    W[b-1, j-2] maps E[t_jj] to expected branch length subtending b leaves.
-    Computed once on host in exact arithmetic, then cast to float64.
+    W[b-1, j-2] maps E[t_jj] (j = 2..n) to the expected total branch length
+    subtending b = 1..n-1 leaves.  Each row b runs the three-term recurrence
+    in j independently in exact rational arithmetic — floating point blows
+    up for n beyond ~50 — and is cast to float64 once at the end.
+    (capability match: reference size_history.py:350-369)
     """
-    from fractions import Fraction
+    from fractions import Fraction as F
 
     if n == 1:
         return np.array([[]], dtype=np.float64)
-    W = np.zeros([n - 1, n - 1], dtype=object)
-    W[:, 0] = Fraction(6, n + 1)
-    if n == 2:
-        return W.astype(np.float64)
-    b = np.arange(1, n)
-    W[:, 1] = [Fraction(30 * (n - 2 * bb), (n + 1) * (n + 2)) for bb in b]
-    for j in range(2, n - 1):
-        A = Fraction(-(1 + j) * (3 + 2 * j) * (n - j), j * (2 * j - 1) * (n + j + 1))
-        B = [Fraction((3 + 2 * j) * (n - 2 * bb), j * (n + j + 1)) for bb in b]
-        W[:, j] = A * W[:, j - 2] + np.array(B) * W[:, j - 1]
-    return W.astype(np.float64)
+    rows = []
+    for b in range(1, n):
+        w = [F(6, n + 1)]  # j = 2
+        if n >= 3:
+            w.append(F(30 * (n - 2 * b), (n + 1) * (n + 2)))  # j = 3
+        for j in range(2, n - 1):  # recurrence emits column j + 2
+            lead = F(3 + 2 * j, j * (n + j + 1))
+            w.append(lead * ((n - 2 * b) * w[-1] - F((1 + j) * (n - j), 2 * j - 1) * w[-2]))
+        rows.append([float(x) for x in w])
+    return np.array(rows, dtype=np.float64)

@@ -7,7 +7,7 @@ codebase (no scipy dependency in the hot path, stdlib logging).
 
 from phlash_tpu.utils.pattern import Pattern
 from phlash_tpu.utils.trees import tree_stack, tree_unstack
-from phlash_tpu.utils.numerics import softplus_inv, expm1inv, kahan_add, invert_cpwli
+from phlash_tpu.utils.numerics import softplus_inv, expm1inv, texp_mean, kahan_add, invert_cpwli
 
 __all__ = [
     "Pattern",
@@ -15,6 +15,7 @@ __all__ = [
     "tree_unstack",
     "softplus_inv",
     "expm1inv",
+    "texp_mean",
     "kahan_add",
     "invert_cpwli",
 ]

@@ -31,6 +31,23 @@ def expm1inv(x):
     return jnp.where(big, -jnp.exp(-x) / jnp.expm1(-x), 1.0 / jnp.expm1(x_lo))
 
 
+def texp_mean(x):
+    """Mean of a rate-x exponential truncated to the unit interval.
+
+    g(x) = 1/x - 1/expm1(x), with g(0) = 1/2 (uniform limit) and
+    g(inf) = 0 (instant decay).  The generic form cancels catastrophically
+    near 0, so |x| < 0.1 switches to the cubic Taylor expansion
+    1/2 - x/12 + x^3/720 (error < 2e-9 at the boundary); large x is safe
+    because expm1inv never overflows.  Gradients stay finite everywhere
+    (both branches see a safe operand).
+    """
+    small = jnp.abs(x) < 0.1
+    x_safe = jnp.where(small, 1.0, x)
+    generic = 1.0 / x_safe - expm1inv(x_safe)
+    taylor = 0.5 - x / 12.0 + x**3 / 720.0
+    return jnp.where(small, taylor, generic)
+
+
 def invert_cpwli(R):
     """Invert a continuous piecewise-linear increasing scipy PPoly.
 

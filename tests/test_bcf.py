@@ -1,0 +1,138 @@
+"""Native BCF2.2 reader tests.
+
+The reader half of phlash_tpu.io.bcf was validated against an
+htslib-produced file (the reference's tests/fixtures/sample.bcf golden
+counts: het sum 234, afs [143, 60, 89] at 1:25-26 Mb — reference
+tests/test_data.py:41-52); the committed fixture here is produced by our
+own writer (tools/make_bcf_fixture.py) and pins the counts below, so the
+reader, writer, BGZF framing, and region logic are all covered without a
+pysam/bcftools dependency.
+"""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from phlash_tpu.data import VcfContig, contig
+from phlash_tpu.io.bcf import BcfFile, iter_bcf, write_bcf
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "sample.bcf")
+
+
+def test_bgzf_framing():
+    "The fixture is valid BGZF: gzip members with the BC extra field + EOF."
+    raw = open(FIXTURE, "rb").read()
+    assert raw[:4] == b"\x1f\x8b\x08\x04"  # gzip magic + FEXTRA
+    xlen = struct.unpack_from("<H", raw, 10)[0]
+    assert raw[12:14] == b"BC" and xlen == 6
+    assert raw.endswith(
+        bytes.fromhex("1f8b08040000000000ff0600424302001b0003000000000000000000")
+    )
+    # stdlib gzip decodes the multi-member stream to the BCF payload
+    assert gzip.decompress(raw)[:5] == b"BCF\x02\x02"
+
+
+def test_header_dictionaries():
+    with BcfFile(FIXTURE) as f:
+        assert list(f.contigs.values()) == ["chr1", "chr2"]
+        assert f.samples == ["sampleA", "sampleB"]
+        assert "GT" in f.strings.values()
+
+
+def test_golden_counts():
+    c = VcfContig(FIXTURE, contig="chr1", interval=(1, 1_000_000), samples=["sampleA", "sampleB"])
+    d = c.get_data(100)
+    assert d["het_matrix"].shape == (2, 10000)
+    assert d["het_matrix"].max() == 1
+    assert d["het_matrix"].sum() == 2252
+    np.testing.assert_array_equal(d["afs"], [1070, 861, 378])
+
+
+def test_golden_counts_region_subset():
+    "Region restriction + single-sample subsetting on the second contig."
+    c = VcfContig(FIXTURE, contig="chr2", interval=(100_000, 400_000), samples=["sampleB"])
+    d = c.get_data(100)
+    assert d["het_matrix"].shape == (1, 3000)
+    assert d["het_matrix"].sum() == 119
+    np.testing.assert_array_equal(d["afs"], [122])
+
+
+def test_contig_factory_dispatch():
+    c = contig(FIXTURE, samples=["sampleA"], region="chr1:1-1000000")
+    assert isinstance(c, VcfContig)
+
+
+def test_roundtrip_vs_text_vcf(tmp_path):
+    "write_bcf -> iter_bcf must agree with the text parser on the same data."
+    rng = np.random.default_rng(7)
+    header = "\n".join(
+        [
+            "##fileformat=VCFv4.2",
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+            "##contig=<ID=c1,length=100000>",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\ts3",
+        ]
+    )
+    pos = np.sort(rng.choice(np.arange(1, 100_000), 500, replace=False))
+    records, text_lines = [], [header]
+    for p in pos:
+        gts = []
+        for _ in range(3):
+            a, b = (
+                (None, None)
+                if rng.random() < 0.1
+                else (int(rng.integers(2)), int(rng.integers(2)))
+            )
+            gts.append((a, b))
+        records.append(("c1", int(p), "G", ["C"], gts))
+        cols = "\t".join(
+            "./." if a is None else f"{a}/{b}" for a, b in gts
+        )
+        text_lines.append(f"c1\t{p}\t.\tG\tC\t.\tPASS\t.\tGT\t{cols}")
+    bcf_path, vcf_path = str(tmp_path / "t.bcf"), tmp_path / "t.vcf"
+    write_bcf(bcf_path, header, records)
+    vcf_path.write_text("\n".join(text_lines) + "\n")
+    samples = ["s2", "s1"]  # out of header order on purpose
+    got = list(iter_bcf(bcf_path, "c1", 1, 100_000, samples))
+    want = list(
+        contig(str(vcf_path), samples=samples, region="c1:1-100000")._records(1, 100_000)
+    )
+    assert len(got) == len(want) == 500
+    for g, w in zip(got, want):
+        assert g["pos"] == w["pos"]
+        np.testing.assert_array_equal(g["het"], w["het"])
+        assert g["nd"] == w["nd"]
+
+
+def test_mixed_ploidy_and_missing(tmp_path):
+    header = "\n".join(
+        [
+            "##fileformat=VCFv4.2",
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+            "##contig=<ID=c1,length=1000>",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2",
+        ]
+    )
+    records = [
+        ("c1", 10, "A", ["T"], [(0, 1), (1,)]),  # s2 haploid -> -1
+        ("c1", 20, "A", ["T"], [(None, 1), (1, 1)]),  # half-missing -> -1, nd counts the 1
+        ("c1", 30, "A", ["T"], [(1, 1), (0, 0)]),
+    ]
+    path = str(tmp_path / "m.bcf")
+    write_bcf(path, header, records)
+    out = list(iter_bcf(path, "c1", 1, 1000, ["s1", "s2"]))
+    np.testing.assert_array_equal([r["het"] for r in out], [[1, -1], [-1, 0], [0, 0]])
+    assert [r["nd"] for r in out] == [2, 3, 2]
+
+
+def test_unknown_contig_raises(tmp_path):
+    with pytest.raises(ValueError, match="contig"):
+        list(iter_bcf(FIXTURE, "chrX", 1, 100, ["sampleA"]))
+
+
+def test_unknown_sample_raises():
+    with pytest.raises(ValueError, match="samples"):
+        list(iter_bcf(FIXTURE, "chr1", 1, 100, ["nope"]))
