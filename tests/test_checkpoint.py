@@ -1,6 +1,7 @@
 """Checkpoint/resume and profiling-counter tests (new vs the reference)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -54,6 +55,7 @@ def test_checkpoint_shape_mismatch(tmp_path):
         load_checkpoint(path, bad)
 
 
+@pytest.mark.slow  # two full fit() compiles (~30 s); unit round-trips above stay fast
 def test_fit_resume(tmp_path):
     "A fit interrupted and restarted must continue from the checkpoint."
     from phlash_tpu.data import RawContig

@@ -1,5 +1,6 @@
 """CLI + posterior serialization tests."""
 
+import pytest
 import subprocess
 import sys
 
@@ -31,6 +32,7 @@ def test_posterior_roundtrip(tmp_path):
     np.testing.assert_allclose(back[1].theta, 1e-3)
 
 
+@pytest.mark.slow  # subprocess fit: fresh jax import + step compile (~30 s)
 def test_cli_fit_psmcfa(tmp_path):
     "End-to-end CLI smoke test on a tiny psmcfa input (subprocess, CPU)."
     seq = "".join(np.random.default_rng(0).choice(list("TTTK"), size=3000))

@@ -9,24 +9,6 @@ from phlash_tpu.sim import constant_demography, simulate_dataset
 from phlash_tpu.size_history import DemographicModel
 
 
-def test_fit_toy_contig():
-    "Tiny fit on a minimal contig: runs, returns the right type and count."
-    het = np.random.default_rng(0).integers(0, 2, size=(1, 2000)).astype(np.int8)
-    c = RawContig(het_matrix=het, afs=np.array([5, 2, 1]), window_size=100)
-    res = fit(
-        [c],
-        niter=3,
-        num_particles=8,
-        overlap=10,
-        chunk_size=200,
-        num_workers=1,
-        progress=False,
-        kernel_backend="dense",
-    )
-    assert len(res) == 8
-    assert all(isinstance(r, DemographicModel) for r in res)
-
-
 @pytest.mark.slow
 def test_fit_simulated_recovers_scale():
     "Fit on simulated constant-Ne data: posterior should be near the truth."
@@ -50,6 +32,7 @@ def test_fit_simulated_recovers_scale():
     assert 0.2 < med_c / true_c < 5.0
 
 
+@pytest.mark.slow  # ~27 s step compile; covered in the CI full sweep
 def test_fit_multisample_composite():
     "Multi-diploid composite likelihood + joint AFS (cf. BASELINE config 4)."
     rng = np.random.default_rng(2)
@@ -70,8 +53,11 @@ def test_fit_multisample_composite():
 
 
 def test_fit_with_elpd_early_stopping():
-    "Held-out contig drives the ELPD loop (exercises the test-kernel path)."
-    rng = np.random.default_rng(3)
+    """Held-out contig drives the ELPD loop (exercises the test-kernel path).
+
+    Also the basic functional check (return type/count), which previously
+    had its own toy fit — each distinct fit shape costs a ~25 s step
+    compile on one CPU core, so functional asserts ride along here."""
     mk = lambda seed: RawContig(  # noqa: E731
         het_matrix=np.random.default_rng(seed).integers(0, 2, (1, 3000)).astype(np.int8),
         afs=np.array([5, 2, 1]),
@@ -90,3 +76,4 @@ def test_fit_with_elpd_early_stopping():
         elpd_cutoff=100,
     )
     assert len(res) == 8
+    assert all(isinstance(r, DemographicModel) for r in res)

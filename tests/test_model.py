@@ -1,6 +1,7 @@
 """Model log-density tests (cf. reference tests/test_model.py:8-19)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,14 @@ def test_log_density_backends_agree(mcp, data):
     v1 = float(log_density(mcp, kern=k1, **args))
     v2 = float(log_density(mcp, kern=k2, **args))
     np.testing.assert_allclose(v1, v2, rtol=1e-8)
+
+
+@pytest.mark.slow  # two reverse-mode compiles (~28 s); kernel-level gradient
+# agreement is covered fast by test_kernels.py::test_grads_agree
+def test_log_density_backends_grads_agree(mcp, data):
+    args = _density_args(data)
+    k1 = PureXLAKernel(M=16, data=data[:, 100:], double_precision=True)
+    k2 = DenseKernel(M=16, data=data[:, 100:], double_precision=True, seg_len=128)
     g1 = jax.grad(lambda m: log_density(m, kern=k1, **args))(mcp)
     g2 = jax.grad(lambda m: log_density(m, kern=k2, **args))(mcp)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):

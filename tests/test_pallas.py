@@ -12,6 +12,11 @@ import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
+# the MXU-packed kernel is a comparison backend (production is the
+# structured VPU kernel, tests/test_smc_kernel.py); its interpret-mode
+# equivalence runs are compile-heavy, so they live in the slow lane
+HEAVY = pytest.mark.slow
+
 from phlash_tpu.hmm import psmc_ll
 from phlash_tpu.ops.kernel_dense import DenseKernel
 from phlash_tpu.ops.kernel_pallas import PallasKernel
@@ -29,6 +34,7 @@ def short_data(rng):
     return d
 
 
+@HEAVY
 def test_pallas_values_match_oracle(short_data, f32_pp):
     kern = PallasKernel(M_=16, data=short_data, seg_len=128)
     pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (2, 2) + a.shape), f32_pp)
@@ -39,6 +45,7 @@ def test_pallas_values_match_oracle(short_data, f32_pp):
         np.testing.assert_allclose(ll[:, s], want, rtol=1e-4)
 
 
+@HEAVY
 def test_pallas_grads_match_dense(short_data, f32_pp):
     kern = PallasKernel(M_=16, data=short_data, seg_len=128)
     dkern = DenseKernel(M=16, data=short_data, seg_len=64)
@@ -62,6 +69,7 @@ def test_pallas_grads_match_dense(short_data, f32_pp):
         np.testing.assert_allclose(a / denom, b / denom, atol=2e-5, err_msg=name)
 
 
+@HEAVY
 def test_pallas_padding_is_noop(f32_pp, rng):
     "Likelihood must be invariant to the kernel-internal -2 padding."
     d = rng.binomial(1, 0.05, size=(2, 200)).astype(np.int8)

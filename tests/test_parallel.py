@@ -106,6 +106,8 @@ def test_sharded_pallas_forward_matches_dense():
     np.testing.assert_allclose(np.asarray(ll), np.asarray(want), rtol=1e-4)
 
 
+@pytest.mark.slow  # ~25 s interpret-mode compile; the forward test above
+# already proves the shard_map path, this adds the filter entry point
 def test_sharded_pallas_filter_matches_dense():
     "filter_batched (warmup-pi path) under the mesh, vs the dense backend."
     from jax.experimental.pallas import tpu as pltpu

@@ -1,4 +1,13 @@
-"""Structured (VPU) Pallas kernel equivalence tests, interpret mode on CPU."""
+"""Structured (VPU) Pallas kernel equivalence tests, interpret mode on CPU.
+
+Every test in this module shares ONE kernel configuration (seg_len=32,
+L=160, S=2, lane-padded B<=128 so pb=1): the module-level jitted
+forward/adjoint programs (ops.pallas_smc.forward_structured /
+backward_structured) are shape-keyed, so the expensive interpret-mode
+compile happens once per direction and every further test reuses it.
+Do not introduce new shapes here without need — a single odd shape adds
+~30 s of compile on one CPU core.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -6,36 +15,67 @@ import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
+# cross-checks through model.log_density / vmap paths each compile several
+# more interpret-mode programs (~40-50 s apiece on one CPU core); the core
+# value/grad/filter equivalences above stay in the fast lane
+CROSS = pytest.mark.slow
+
 from phlash_tpu.hmm import PureXLAKernel, psmc_ll
 from phlash_tpu.ops.kernel_dense import DenseKernel
 from phlash_tpu.ops.kernel_smc import SMCKernel
 
-
-@pytest.fixture
-def f32_pp(pp):
-    return jax.tree.map(lambda a: a.astype(jnp.float32), pp)
+SEG = 32
+L = 160
 
 
-@pytest.fixture
-def short_data(rng):
-    d = rng.binomial(1, 0.05, size=(4, 300)).astype(np.int8)
-    d[1, 50:80] = -1
+@pytest.fixture(scope="module")
+def sdata():
+    rng = np.random.default_rng(0)
+    d = rng.binomial(1, 0.05, size=(4, L)).astype(np.int8)
+    d[1, 50:80] = -1  # missing block
+    d[2, 150:] = -1  # missing tail
     return d
 
 
-def test_smc_values_match_oracle(short_data, f32_pp):
-    kern = SMCKernel(M_=16, data=short_data, seg_len=128)
+@pytest.fixture(scope="module")
+def f32_pp():
+    from phlash_tpu.params import PSMCParams
+    from phlash_tpu.size_history import DemographicModel
+
+    dm = DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
+    return jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm))
+
+
+@pytest.fixture(scope="module")
+def kern(sdata):
+    return SMCKernel(M_=16, data=sdata, seg_len=SEG)
+
+
+@pytest.fixture(scope="module")
+def dkern(sdata):
+    return DenseKernel(M=16, data=sdata, seg_len=SEG)
+
+
+def test_smc_values_match_oracle(sdata, kern, f32_pp):
     pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (2, 2) + a.shape), f32_pp)
     with pltpu.force_tpu_interpret_mode():
         ll = np.asarray(kern.loglik_batched(pps, jnp.array([0, 1])))
     for s, i in enumerate([0, 1]):
-        want = float(psmc_ll(f32_pp, jnp.asarray(short_data[i]))[1])
+        want = float(psmc_ll(f32_pp, jnp.asarray(sdata[i]))[1])
         np.testing.assert_allclose(ll[:, s], want, rtol=1e-5)
 
 
-def test_smc_grads_match_dense(short_data, f32_pp):
-    kern = SMCKernel(M_=16, data=short_data, seg_len=128)
-    dkern = DenseKernel(M=16, data=short_data, seg_len=64)
+def test_smc_values_missing_data(sdata, kern, f32_pp):
+    "Rows with missing blocks/tails (codes 2 and 3) against the scan oracle."
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (2, 2) + a.shape), f32_pp)
+    with pltpu.force_tpu_interpret_mode():
+        ll = np.asarray(kern.loglik_batched(pps, jnp.array([1, 2])))
+    for s, i in enumerate([1, 2]):
+        want = float(psmc_ll(f32_pp, jnp.asarray(sdata[i]))[1])
+        np.testing.assert_allclose(ll[:, s], want, rtol=1e-5)
+
+
+def test_smc_grads_match_dense(sdata, kern, dkern, f32_pp):
     B, S = 3, 2
     pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), f32_pp)
     inds = jnp.array([0, 1])
@@ -52,27 +92,25 @@ def test_smc_grads_match_dense(short_data, f32_pp):
         np.testing.assert_allclose(a / denom, b / denom, atol=2e-5, err_msg=name)
 
 
-def test_smc_filter_matches_oracle(short_data, f32_pp):
-    kern = SMCKernel(M_=16, data=short_data, seg_len=128)
+def test_smc_filter_matches_oracle(sdata, kern, f32_pp):
     B = 2
     pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), f32_pp)
-    warmup = jnp.asarray(short_data[:3, :100])
+    warmup = jnp.asarray(sdata[:2])  # full-length rows: reuses the fwd compile
     with pltpu.force_tpu_interpret_mode():
         alpha = np.asarray(kern.filter_batched(pps, warmup))
-    assert alpha.shape == (B, 3, 16)
-    for s in range(3):
+    assert alpha.shape == (B, 2, 16)
+    for s in range(2):
         want = np.asarray(psmc_ll(f32_pp, warmup[s])[0])
         for bi in range(B):
             np.testing.assert_allclose(alpha[bi, s], want, rtol=1e-4, atol=1e-25)
 
 
-def test_smc_filter_grad_matches_xla(short_data, f32_pp):
+def test_smc_filter_grad_matches_xla(sdata, kern, f32_pp):
     "Differentiating through the Pallas filter must match the XLA scan filter."
-    kern = SMCKernel(M_=16, data=short_data, seg_len=128)
-    xkern = PureXLAKernel(M=16, data=short_data)
+    xkern = PureXLAKernel(M=16, data=sdata)
     B = 2
     pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), f32_pp)
-    warmup = jnp.asarray(short_data[:2, :100])
+    warmup = jnp.asarray(sdata[:2])
     T = jnp.linspace(0.5, 1.5, 2 * 2 * 16).reshape(2, 2, 16)
 
     def loss(kern_):
@@ -87,11 +125,12 @@ def test_smc_filter_grad_matches_xla(short_data, f32_pp):
         np.testing.assert_allclose(a / denom, b / denom, atol=2e-5, err_msg=name)
 
 
-def test_log_density_batched_matches_per_particle(short_data, mcp):
+@CROSS
+def test_log_density_batched_matches_per_particle(sdata, mcp):
     "log_density_batched == vmap(log_density) on the dense backend."
     from phlash_tpu.model import log_density, log_density_batched
 
-    kern = DenseKernel(M=16, data=short_data[:, 100:], double_precision=True, seg_len=64)
+    kern64 = DenseKernel(M=16, data=sdata, double_precision=True, seg_len=SEG)
     B = 3
     key = jax.random.PRNGKey(0)
     flat, unravel = jax.flatten_util.ravel_pytree(mcp)
@@ -99,8 +138,8 @@ def test_log_density_batched_matches_per_particle(short_data, mcp):
     kw = dict(
         c=jnp.array([1.0, 1.0, 1.0]),
         inds=jnp.arange(2),
-        warmup=jnp.asarray(short_data[:2, :100]),
-        kern=kern,
+        warmup=jnp.asarray(sdata[:2]),
+        kern=kern64,
         afs=jnp.array([30, 10, 5], dtype=jnp.int64),
         afs_transform=None,
     )
@@ -113,16 +152,13 @@ def test_log_density_batched_matches_per_particle(short_data, mcp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-8)
 
 
-def test_vmap_loglik_structured_matches_dense(short_data, f32_pp):
+@CROSS
+def test_vmap_loglik_structured_matches_dense(sdata, kern, dkern, f32_pp):
     """vmap(kern.loglik) over particles — the per-particle log_density path
     (model.py:61) — must work and agree with the dense backend when the
     kernel is the structured Pallas one (VERDICT r01 weak item 8)."""
-    kern = SMCKernel(M_=16, data=short_data[:, :160], seg_len=32)
-    dkern = DenseKernel(M=16, data=short_data[:, :160], seg_len=32)
     B = 2
-    bump = 1.0 + 0.05 * jnp.arange(B)
     pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), f32_pp)
-    pps = pps._replace(pi=pps.pi * bump[:, None] / bump[:, None])  # keep normalized
     inds = jnp.array([0, 1])
     with pltpu.force_tpu_interpret_mode():
         got = jax.vmap(kern.loglik, (0, None))(pps, inds[0])
@@ -133,16 +169,15 @@ def test_vmap_loglik_structured_matches_dense(short_data, f32_pp):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-5)
 
 
-def test_log_density_structured_kernel_per_particle(short_data, mcp):
+@CROSS
+def test_log_density_structured_kernel_per_particle(sdata, kern, dkern, mcp):
     "log_density (per-particle vmap path) with the structured kernel == dense."
     from phlash_tpu.model import log_density
 
-    kern = SMCKernel(M_=16, data=short_data[:, 100:260], seg_len=32)
-    dkern = DenseKernel(M=16, data=short_data[:, 100:260], seg_len=32)
     kw = dict(
         c=jnp.array([1.0, 1.0, 1.0]),
         inds=jnp.arange(2),
-        warmup=jnp.asarray(short_data[:2, :64]),
+        warmup=jnp.asarray(sdata[:2]),
         afs=jnp.array([30, 10, 5], dtype=jnp.int64),
         afs_transform=None,
     )

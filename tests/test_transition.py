@@ -50,9 +50,10 @@ def test_q_s_integrates_to_one(dm):
     "Continuous density + atom must integrate to 1 (quadrature oracle)."
     s = 1.0
     q, atom = q_s(eta=dm.eta, s=s, r=0.02)
+    qj = jax.jit(q)  # quad makes hundreds of point evals; one compile wins
     t_hi = float(dm.eta.t[-1]) + 60.0 / float(np.min(np.asarray(dm.eta.c)))
     val, _ = scipy.integrate.quad(
-        lambda t: float(q(t)), 0.0, t_hi, points=list(dm.eta.t) + [s], limit=300
+        lambda t: float(qj(t)), 0.0, t_hi, points=list(dm.eta.t) + [s], limit=300
     )
     np.testing.assert_allclose(val + float(atom), 1.0, rtol=1e-5)
 
