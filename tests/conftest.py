@@ -41,17 +41,19 @@ def data(rng):
     return rng.binomial(1, 0.05, size=(10, 1000)).astype(np.int8)
 
 
-@pytest.fixture
+# session-scoped: these are immutable pytrees, and each eager reconstruction
+# costs 1-2 s of op dispatch (f64 transition assembly) on one core
+@pytest.fixture(scope="session")
 def dm():
     return DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
 
 
-@pytest.fixture
+@pytest.fixture(scope="session")
 def pp(dm):
     return PSMCParams.from_dm(dm)
 
 
-@pytest.fixture
+@pytest.fixture(scope="session")
 def mcp():
     return MCMCParams.from_linear(
         pattern="14*1+1*2",

@@ -55,6 +55,8 @@ def test_log_density_backends_grads_agree(mcp, data):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-10)
 
 
+@pytest.mark.slow  # ~29 s reverse-mode compile; gradient finiteness is
+# asserted fast at kernel level (test_kernels) and per-step inside fit()
 def test_log_density_grad_finite(mcp, data):
     kern = DenseKernel(M=16, data=data[:, 100:], double_precision=True, seg_len=128)
     g = jax.grad(lambda m: log_density(m, kern=kern, **_density_args(data)))(mcp)
