@@ -72,21 +72,23 @@ def _structured_fwd_op(params, pi, obs, pb, seg_len):
     with the state cotangent seeding the adjoint, so both the likelihood and
     the warmup-filtering use cases share one kernel pair.
     """
-    ll, alpha, _ckpt = pallas_smc.forward_structured(params, pi, obs, pb, seg_len)
+    ll, alpha, _ = pallas_smc.forward_structured(
+        params, pi, obs, pb, seg_len, with_residuals=False
+    )
     return ll[:, 0, :], alpha
 
 
 def _structured_fwd_op_fwd(params, pi, obs, pb, seg_len):
-    ll, alpha, ckpt = pallas_smc.forward_structured(params, pi, obs, pb, seg_len)
-    return (ll[:, 0, :], alpha), (params, obs, ckpt)
+    ll, alpha, pstates = pallas_smc.forward_structured(params, pi, obs, pb, seg_len)
+    return (ll[:, 0, :], alpha), (params, obs, pstates)
 
 
 def _structured_fwd_op_bwd(pb, seg_len, res, cot):
-    params, obs, ckpt = res
+    params, obs, pstates = res
     g, abar0 = cot
     gbar = jnp.broadcast_to(g[:, None, :], (g.shape[0], M, g.shape[1]))
     dparams, dpi = pallas_smc.backward_structured(
-        params, obs, ckpt, gbar, abar0, pb, seg_len
+        params, obs, pstates, gbar, abar0, pb, seg_len
     )
     return dparams, dpi, None
 

@@ -34,10 +34,17 @@ Layout:
     arrays  (n_t, M, 128) f32: [tile, state, particle-lane]
     obs     (n_seg, ROWS, seg_len // ROWS) int32 packed codes
 
-Forward: grid (tile blocks, segments); per-segment alpha checkpoints.
-Backward: grid (tile blocks, segments reversed); rebuilds each segment
-forward storing per-site states in VMEM, then sweeps it backward
-accumulating parameter cotangents in resident output blocks.
+Forward: grid (tile blocks, segments); emits the filtered state at every
+NORM_EVERY-site period boundary (a cheap HBM stream — NORM_EVERY x less
+data than per-site history).
+Backward: grid (tile blocks, segments reversed); for each period
+(reversed) it rebuilds just that period's NORM_EVERY sites from the
+streamed boundary state into a tiny VMEM scratch, then sweeps them
+backward accumulating parameter cotangents in resident output blocks.
+Storing only a period, not the whole segment, keeps VMEM pressure low
+enough to run the same tile block as the forward pass (an earlier design
+held a (seg_len, tb, M, 128) per-site history in VMEM, which halved the
+backward tile block and required a full-segment rebuild per grid step).
 """
 
 from __future__ import annotations
@@ -57,7 +64,7 @@ LANES = 128  # HMMs per tile
 ROWS = 8  # obs packing rows (see pack_obs)
 DEFAULT_SEG = 256  # sites per grid step / checkpoint spacing
 FWD_TILE_BLOCK = 4  # forward tiles per grid step (measured optimum)
-BWD_TILE_BLOCK = 2  # backward is VMEM-bounded by the per-site history
+BWD_TILE_BLOCK = 4  # per-period rebuild keeps VMEM small enough to match
 NORM_EVERY = 8  # sites between rescalings (must divide seg_len)
 MAX_CHUNKS = 16  # 2-bit codes per int32
 
@@ -162,11 +169,15 @@ def _pick_tb(n_t: int, want: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _make_fwd_kernel(pb: int, tb: int):
+def _make_fwd_kernel(pb: int, tb: int, with_residuals: bool):
     shift_at = _block_chunk_shift(tb, pb)
 
     def kernel(b_ref, d_ref, u_ref, vv_ref, e0_ref, e1_ref, pi_ref, obs_ref,
-               ll_ref, alpha_ref, ckpt_ref, alpha):
+               ll_ref, alpha_ref, *rest):
+        if with_residuals:
+            pst_ref, alpha, pst_acc = rest
+        else:
+            (alpha,) = rest
         g = pl.program_id(0)
         s = pl.program_id(1)
 
@@ -175,7 +186,6 @@ def _make_fwd_kernel(pb: int, tb: int):
             alpha[...] = pi_ref[...]
             ll_ref[...] = jnp.zeros_like(ll_ref)
 
-        ckpt_ref[0] = alpha[...]
         iota = _iota(tb)
         shift = shift_at(g)
         W = obs_ref.shape[2]
@@ -184,6 +194,12 @@ def _make_fwd_kernel(pb: int, tb: int):
 
         def period(p, carry):
             a, ll = carry
+            if with_residuals:
+                # period-start state: the adjoint's residual.  Staged in
+                # scratch and copied to the output block once (dynamic
+                # single-row writes to a grid-streamed output ref deadlock
+                # interpret mode's buffer machinery under shard_map).
+                pst_acc[p] = a
             t0 = p * jnp.int32(NORM_EVERY)
             for j in range(NORM_EVERY):  # unrolled; no rescaling inside
                 t = t0 + jnp.int32(j)
@@ -202,6 +218,8 @@ def _make_fwd_kernel(pb: int, tb: int):
         alpha[...] = a
         alpha_ref[...] = a
         ll_ref[...] = ll
+        if with_residuals:
+            pst_ref[0] = pst_acc[...]
 
     return kernel
 
@@ -216,22 +234,45 @@ def _i32(x):
     return lax.convert_element_type(x, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("pb", "seg_len"))
-def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_SEG):
+@functools.partial(jax.jit, static_argnames=("pb", "seg_len", "with_residuals"))
+def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_SEG,
+                       with_residuals: bool = True):
     """params: tuple/list of 6 (n_t, M, 128) arrays b, d, u, vv, e0, e1;
     pi (n_t, M, 128); obs_packed (n_seg, ROWS, seg_len//ROWS).
 
     Returns (ll (n_t, M, 128) state-redundant, final filtered state
-    alpha (n_t, M, 128), ckpt (n_seg, n_t, M, 128)).
+    alpha (n_t, M, 128), pstates (n_seg, n_per, n_t, M, 128) — the filtered
+    state at every NORM_EVERY-site period boundary, the adjoint's residual).
+    With with_residuals=False (the primal/no-grad path) pstates is not
+    computed or written at all and None is returned in its place.
     """
     assert seg_len % NORM_EVERY == 0
     n_t = params[0].shape[0]
     n_seg = obs_packed.shape[0]
+    n_per = seg_len // NORM_EVERY
     tb = _pick_tb(n_t, FWD_TILE_BLOCK)
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
-    ll, alpha, ckpt = pl.pallas_call(
-        _make_fwd_kernel(pb, tb),
+    out_specs = [p_spec, p_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
+    ]
+    scratch = [pltpu.VMEM((tb, M, LANES), jnp.float32)]  # alpha carry
+    if with_residuals:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, n_per, tb, M, LANES),
+                lambda g, s: (_i32(s), _Z, _i32(g), _Z, _Z),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_seg, n_per, n_t, M, LANES), jnp.float32)
+        )
+        scratch.append(pltpu.VMEM((n_per, tb, M, LANES), jnp.float32))
+    outs = pl.pallas_call(
+        _make_fwd_kernel(pb, tb, with_residuals),
         grid=(n_t // tb, n_seg),
         in_specs=[p_spec] * 7 + [
             pl.BlockSpec(
@@ -240,23 +281,13 @@ def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_S
                 memory_space=pltpu.SMEM,
             ),
         ],
-        out_specs=[
-            p_spec,
-            p_spec,
-            pl.BlockSpec(
-                (1, tb, M, LANES),
-                lambda g, s: (_i32(s), _i32(g), _Z, _Z),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_seg, n_t, M, LANES), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((tb, M, LANES), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(*params, pi, obs_packed)
-    return ll, alpha, ckpt
+    if with_residuals:
+        return outs[0], outs[1], outs[2]
+    return outs[0], outs[1], None
 
 
 # ---------------------------------------------------------------------------
@@ -267,10 +298,10 @@ def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_S
 def _make_bwd_kernel(pb: int, tb: int):
     shift_at = _block_chunk_shift(tb, pb)
 
-    def kernel(b_ref, d_ref, u_ref, vv_ref, e0_ref, e1_ref, obs_ref, ckpt_ref,
+    def kernel(b_ref, d_ref, u_ref, vv_ref, e0_ref, e1_ref, obs_ref, pst_ref,
                gbar_ref, abar0_ref,
                db_ref, dd_ref, du_ref, dvv_ref, de0_ref, de1_ref, dpi_ref,
-               abar, hist, c_hist, afinal):
+               abar, ph, pstk):
         g = pl.program_id(0)
         s = pl.program_id(1)
         n_seg = pl.num_programs(1)
@@ -287,14 +318,20 @@ def _make_bwd_kernel(pb: int, tb: int):
         W32 = jnp.int32(W)
         seg_len = obs_ref.shape[1] * W
         n_per = seg_len // NORM_EVERY
+        # one static copy; dynamic per-period reads then hit scratch (see
+        # the forward kernel's note on interpret-mode buffer deadlocks)
+        pstk[...] = pst_ref[0]
 
-        # ---- rebuild the segment forward, storing pre-site states and the
-        # per-period normalizers ----
-        def fwd_period(p, a):
+        def bwd_period(q, carry):
+            ab, db, dd, du, dvv, de0, de1 = carry
+            p = jnp.int32(n_per - 1) - q
             t0 = p * jnp.int32(NORM_EVERY)
+            # ---- rebuild just this period's sites from its streamed
+            # boundary state (tiny scratch: NORM_EVERY, not seg_len) ----
+            a = pstk[p]
             for j in range(NORM_EVERY):
+                ph[jnp.int32(j)] = a
                 t = t0 + jnp.int32(j)
-                hist[t] = a
                 ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
                 v, _sv, _pv = _transition(
                     a, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
@@ -302,34 +339,15 @@ def _make_bwd_kernel(pb: int, tb: int):
                 w = v * _emis_factor(ob, e0_ref[...], e1_ref[...])
                 a = jnp.where(ob < 3, w, a)
             c = jnp.maximum(state_sum(a, iota), TINY_NORM)
-            c_hist[p] = c
-            return a / c
-
-        afinal[...] = lax.fori_loop(
-            jnp.int32(0), jnp.int32(n_per), fwd_period, ckpt_ref[0], unroll=1
-        )
-
-        # ---- reverse sweep ----
-        def bwd_period(q, carry):
-            ab, db, dd, du, dvv, de0, de1 = carry
-            p = jnp.int32(n_per - 1) - q
-            t0 = p * jnp.int32(NORM_EVERY)
-            # normalization adjoint at the period boundary: a_next = y/c is
-            # the next period's first pre-site state (or the segment-final
-            # state for the last period); c was stored during the rebuild
-            c = c_hist[p]
-            a_next = jnp.where(
-                p == jnp.int32(n_per - 1),
-                afinal[...],
-                hist[jnp.minimum(t0 + jnp.int32(NORM_EVERY), jnp.int32(seg_len - 1))],
-            )
-            ybar = (ab - state_sum(ab * a_next, iota) + gbar_ref[...]) / c
+            # normalization adjoint at the period boundary: the normalized
+            # state a/c is the next period's start (or the segment output)
+            ybar = (ab - state_sum(ab * (a / c), iota) + gbar_ref[...]) / c
             # interior sites, reversed (unnormalized linear recursion)
             for j in reversed(range(NORM_EVERY)):
                 t = t0 + jnp.int32(j)
                 ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
                 live = ob < 3
-                x = hist[t]
+                x = ph[jnp.int32(j)]
                 v, sv, pv = _transition(
                     x, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
                 )
@@ -364,14 +382,16 @@ def _make_bwd_kernel(pb: int, tb: int):
 
 
 @functools.partial(jax.jit, static_argnames=("pb", "seg_len"))
-def backward_structured(params, obs_packed, ckpt, gbar, abar0, pb: int, seg_len: int):
+def backward_structured(params, obs_packed, pstates, gbar, abar0, pb: int, seg_len: int):
     """Adjoint pass.  Returns (dparams tuple of 6, dpi), packed layout.
 
-    gbar: (n_t, M, 128) cotangent of ll (state-redundant broadcast);
-    abar0: (n_t, M, 128) cotangent of the final filtered state.
+    pstates: (n_seg, n_per, n_t, M, 128) period-boundary states from the
+    forward pass; gbar: (n_t, M, 128) cotangent of ll (state-redundant
+    broadcast); abar0: (n_t, M, 128) cotangent of the final filtered state.
     """
     n_t = params[0].shape[0]
-    n_seg = ckpt.shape[0]
+    n_seg = pstates.shape[0]
+    n_per = seg_len // NORM_EVERY
     tb = _pick_tb(n_t, BWD_TILE_BLOCK)
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     rev = lambda s: _np.int32(n_seg - 1) - _i32(s)  # noqa: E731
@@ -386,8 +406,8 @@ def backward_structured(params, obs_packed, ckpt, gbar, abar0, pb: int, seg_len:
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, tb, M, LANES),
-                lambda g, s: (rev(s), _i32(g), _Z, _Z),
+                (1, n_per, tb, M, LANES),
+                lambda g, s: (rev(s), _Z, _i32(g), _Z, _Z),
                 memory_space=pltpu.VMEM,
             ),
             p_spec,
@@ -397,9 +417,8 @@ def backward_structured(params, obs_packed, ckpt, gbar, abar0, pb: int, seg_len:
         out_shape=[jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32)] * 7,
         scratch_shapes=[
             pltpu.VMEM((tb, M, LANES), jnp.float32),  # abar
-            pltpu.VMEM((seg_len, tb, M, LANES), jnp.float32),  # per-site states
-            pltpu.VMEM((seg_len // NORM_EVERY, tb, M, LANES), jnp.float32),  # c per period
-            pltpu.VMEM((tb, M, LANES), jnp.float32),  # segment-final state
+            pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # rebuilt sites
+            pltpu.VMEM((n_per, tb, M, LANES), jnp.float32),  # boundary states
         ],
-    )(*params, obs_packed, ckpt, gbar, abar0)
+    )(*params, obs_packed, pstates, gbar, abar0)
     return tuple(outs[:6]), outs[6]

@@ -74,15 +74,15 @@ def main():
     print(f"n_t={params[0].shape[0]} pb={pb} n_seg={obs.shape[0]} seg_len={seg}")
 
     fwd = jax.jit(lambda p, q, o: pallas_smc.forward_structured(p, q, o, pb, seg))
-    t_f, (ll, alpha, ckpt) = timeit(fwd, params, pi, obs)
-    print(f"forward (w/ ckpt writes):  {t_f*1e3:7.2f} ms  {sites/t_f/1e9:6.2f} Gsites/s")
+    t_f, (ll, alpha, pstates) = timeit(fwd, params, pi, obs)
+    print(f"forward (w/ residuals):     {t_f*1e3:7.2f} ms  {sites/t_f/1e9:6.2f} Gsites/s")
 
     gbar = jnp.ones_like(alpha)
     abar0 = jnp.zeros_like(alpha)
     bwd = jax.jit(
         lambda p, o, c, g, a: pallas_smc.backward_structured(p, o, c, g, a, pb, seg)
     )
-    t_b, _ = timeit(bwd, params, obs, ckpt, gbar, abar0)
+    t_b, _ = timeit(bwd, params, obs, pstates, gbar, abar0)
     print(f"backward (rebuild+sweep):  {t_b*1e3:7.2f} ms  {sites/t_b/1e9:6.2f} Gsites/s")
 
     loss = jax.jit(lambda p: kern.loglik_batched(p, inds).sum())
