@@ -132,13 +132,15 @@ def main():
     t_fit = time.perf_counter() - t0
     dev = jax.devices()[0]
     stats = dev.memory_stats() or {}
-    hbm = stats.get("bytes_in_use", 0) / 1e9
-    peak = stats.get("peak_bytes_in_use", 0) / 1e9
     ms = t_fit / max(1, args.niter - 1) * 1e3
+    if stats.get("peak_bytes_in_use"):
+        mem = (f"HBM in use {stats['bytes_in_use']/1e9:.2f} GB "
+               f"(peak {stats['peak_bytes_in_use']/1e9:.2f} GB)")
+    else:  # tunneled backends report no memory stats
+        mem = f"device-resident chunk tensor {chunks.nbytes/1e6:.0f} MB"
     print(f"fit: upload+compile+first step {t_compile:.1f}s; "
           f"{args.niter - 1} steps x {args.particles} particles in {t_fit:.1f}s "
-          f"({ms:.0f} ms/step) on {dev.platform}; "
-          f"HBM in use {hbm:.2f} GB (peak {peak:.2f} GB)")
+          f"({ms:.0f} ms/step) on {dev.platform}; {mem}")
     from phlash_tpu.params import MCMCParams
     med = float(np.median(np.asarray(
         jax.vmap(lambda p: MCMCParams.to_dm(p).eta.c[0])(state.particles))))
