@@ -301,7 +301,7 @@ def _make_bwd_kernel(pb: int, tb: int):
     def kernel(b_ref, d_ref, u_ref, vv_ref, e0_ref, e1_ref, obs_ref, pst_ref,
                gbar_ref, abar0_ref,
                db_ref, dd_ref, du_ref, dvv_ref, de0_ref, de1_ref, dpi_ref,
-               abar, ph, pstk):
+               abar, ph_x, ph_sv, ph_pv, ph_v, pstk):
         g = pl.program_id(0)
         s = pl.program_id(1)
         n_seg = pl.num_programs(1)
@@ -327,15 +327,21 @@ def _make_bwd_kernel(pb: int, tb: int):
             p = jnp.int32(n_per - 1) - q
             t0 = p * jnp.int32(NORM_EVERY)
             # ---- rebuild just this period's sites from its streamed
-            # boundary state (tiny scratch: NORM_EVERY, not seg_len) ----
+            # boundary state (tiny scratch: NORM_EVERY, not seg_len).  The
+            # transition's scans (sv, pv) and its output v are stored so the
+            # reverse sweep below never recomputes them: the sweep then
+            # needs only its own two adjoint scans per site instead of four.
             a = pstk[p]
             for j in range(NORM_EVERY):
-                ph[jnp.int32(j)] = a
+                ph_x[jnp.int32(j)] = a
                 t = t0 + jnp.int32(j)
                 ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
-                v, _sv, _pv = _transition(
+                v, sv, pv = _transition(
                     a, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
                 )
+                ph_sv[jnp.int32(j)] = sv
+                ph_pv[jnp.int32(j)] = pv
+                ph_v[jnp.int32(j)] = v
                 w = v * _emis_factor(ob, e0_ref[...], e1_ref[...])
                 a = jnp.where(ob < 3, w, a)
             c = jnp.maximum(state_sum(a, iota), TINY_NORM)
@@ -347,10 +353,10 @@ def _make_bwd_kernel(pb: int, tb: int):
                 t = t0 + jnp.int32(j)
                 ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
                 live = ob < 3
-                x = ph[jnp.int32(j)]
-                v, sv, pv = _transition(
-                    x, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
-                )
+                x = ph_x[jnp.int32(j)]
+                sv = ph_sv[jnp.int32(j)]
+                pv = ph_pv[jnp.int32(j)]
+                v = ph_v[jnp.int32(j)]
                 f = _emis_factor(ob, e0_ref[...], e1_ref[...])
                 yb = jnp.where(live, ybar, 0.0)
                 dfull = v * yb
@@ -417,7 +423,10 @@ def backward_structured(params, obs_packed, pstates, gbar, abar0, pb: int, seg_l
         out_shape=[jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32)] * 7,
         scratch_shapes=[
             pltpu.VMEM((tb, M, LANES), jnp.float32),  # abar
-            pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # rebuilt sites
+            pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # x per site
+            pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # sv per site
+            pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # pv per site
+            pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # v per site
             pltpu.VMEM((n_per, tb, M, LANES), jnp.float32),  # boundary states
         ],
     )(*params, obs_packed, pstates, gbar, abar0)
