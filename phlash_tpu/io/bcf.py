@@ -5,14 +5,19 @@ The reference can only open .bcf files through pysam
 BCF2.2 binary container directly from the htslib spec so the framework
 ingests .bcf anywhere Python runs:
 
-- BGZF: each block is a standard gzip member carrying a BC extra field, so
-  the stdlib ``gzip`` module decompresses a whole file transparently; the
-  writer emits spec-conformant 64 KiB blocks plus the 28-byte EOF sentinel.
-- Records are scanned sequentially with an early stop once a (sorted) file
-  moves past the requested region; only the 8 bytes of CHROM/POS plus the
-  genotype block are decoded for in-region records, everything else is
-  skipped.  (pysam, when installed, is still preferred upstream because
-  a .csi index makes region fetches O(region) instead of O(file).)
+- BGZF: each block is a standard gzip member carrying a BC extra field;
+  ``BgzfReader`` decodes block-by-block and supports virtual-offset seeks
+  (coffset << 16 | uoffset), and the writer emits spec-conformant 64 KiB
+  blocks plus the 28-byte EOF sentinel.
+- A ``.csi`` index next to the file (htslib CSI v1) makes region queries
+  O(region): the reader bins the interval (reg2bins), seeks to the
+  earliest overlapping chunk's virtual offset and scans from there.
+  Without an index, records are scanned sequentially with an early stop
+  once a (sorted) file moves past the region.  Either way only the 8
+  bytes of CHROM/POS plus the genotype block are decoded for in-region
+  records; everything else is skipped.
+- ``write_bcf(..., index=True)`` also emits a conformant ``.csi`` so the
+  indexed path is testable without bcftools.
 
 The reader yields the same ``{'pos', 'het', 'nd'}`` records as the text-VCF
 parser in phlash_tpu.data; the writer exists to generate golden fixtures and
@@ -22,6 +27,7 @@ round-trip tests without bcftools.
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 import zlib
 from typing import Iterator
@@ -35,6 +41,172 @@ _TYPE_SIZE = {1: 1, 2: 2, 3: 4, 5: 4, 7: 1}
 _TYPE_NP = {1: np.int8, 2: np.int16, 3: np.int32, 5: np.float32, 7: np.uint8}
 # per-width sentinel for "end of vector" (mixed-ploidy padding)
 _EOV = {1: -127, 2: -32767, 3: -2147483647}
+
+
+# ---------------------------------------------------------------------------
+# BGZF random access
+# ---------------------------------------------------------------------------
+
+
+class BgzfReader:
+    """Block-level BGZF decoder with virtual-offset seeks.
+
+    A virtual offset packs (file offset of a block's gzip header) << 16 |
+    (byte offset inside that block's decompressed payload) — the addressing
+    used by .csi/.tbi indexes.
+    """
+
+    def __init__(self, path: str):
+        self._fh = open(path, "rb")
+        self._block = b""
+        self._bpos = 0
+        self._coffset = 0
+        self._next_coffset = 0
+
+    def close(self):
+        self._fh.close()
+
+    def _load_block_at(self, coffset: int) -> bool:
+        "Decode the block starting at file offset coffset; False at EOF."
+        self._fh.seek(coffset)
+        hdr = self._fh.read(12)
+        if len(hdr) < 12:
+            return False
+        if hdr[:4] != b"\x1f\x8b\x08\x04":
+            raise ValueError("not a BGZF block (missing gzip/FEXTRA magic)")
+        (xlen,) = struct.unpack_from("<H", hdr, 10)
+        extra = self._fh.read(xlen)
+        bsize = None
+        at = 0
+        while at + 4 <= len(extra):  # subfields: si1 si2 slen payload
+            si1, si2, slen = extra[at], extra[at + 1], struct.unpack_from("<H", extra, at + 2)[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, at + 4)[0] + 1
+            at += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without a BC size subfield")
+        cdata = self._fh.read(bsize - 12 - xlen - 8)
+        self._fh.read(8)  # CRC32 + ISIZE
+        self._block = zlib.decompress(cdata, -15)
+        self._bpos = 0
+        self._coffset = coffset
+        self._next_coffset = coffset + bsize
+        return True
+
+    def _advance(self) -> bool:
+        while self._load_block_at(self._next_coffset):
+            if self._block:  # zero-length block = EOF sentinel; keep going
+                return True
+        return False
+
+    def seek_virtual(self, voff: int) -> None:
+        if not self._load_block_at(voff >> 16):
+            raise EOFError("virtual offset beyond end of file")
+        self._bpos = voff & 0xFFFF
+
+    def tell_virtual(self) -> int:
+        return (self._coffset << 16) | self._bpos
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0:
+            if self._bpos >= len(self._block):
+                if not self._advance():
+                    break
+            take = min(n, len(self._block) - self._bpos)
+            out += self._block[self._bpos : self._bpos + take]
+            self._bpos += take
+            n -= take
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# CSI index (htslib CSI v1)
+# ---------------------------------------------------------------------------
+
+
+def _reg2bin(beg: int, end: int, min_shift: int, depth: int) -> int:
+    "Smallest bin fully containing the 0-based half-open interval [beg, end)."
+    end -= 1
+    level, shift = depth, min_shift
+    t = ((1 << (3 * depth)) - 1) // 7
+    while level > 0:
+        if beg >> shift == end >> shift:
+            return t + (beg >> shift)
+        level -= 1
+        shift += 3
+        t -= 1 << (3 * level)
+    return 0
+
+
+def _reg2bins(beg: int, end: int, min_shift: int, depth: int) -> list[int]:
+    "All bins overlapping [beg, end) at any level."
+    bins = []
+    end -= 1
+    for level in range(depth + 1):
+        offset = ((1 << (3 * level)) - 1) // 7
+        shift = min_shift + 3 * (depth - level)
+        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
+    return bins
+
+
+def read_csi(path: str):
+    """Parse a .csi index: (min_shift, depth, refs) with refs[i] a dict
+    bin -> (loffset, [(chunk_beg, chunk_end), ...])."""
+    payload = gzip.decompress(open(path, "rb").read())
+    if payload[:4] != b"CSI\x01":
+        raise ValueError(f"{path}: not a CSI v1 index")
+    min_shift, depth, l_aux = struct.unpack_from("<iii", payload, 4)
+    at = 16 + l_aux
+    (n_ref,) = struct.unpack_from("<i", payload, at)
+    at += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", payload, at)
+        at += 4
+        bins = {}
+        for _ in range(n_bin):
+            b, loffset, n_chunk = struct.unpack_from("<IQi", payload, at)
+            at += 16
+            chunks = []
+            for _ in range(n_chunk):
+                cb, ce = struct.unpack_from("<QQ", payload, at)
+                at += 16
+                chunks.append((cb, ce))
+            bins[b] = (loffset, chunks)
+        refs.append(bins)
+    return min_shift, depth, refs
+
+
+def write_csi(path: str, n_ref: int, records, min_shift: int = 14, depth: int = 5):
+    """Write a CSI v1 index.  `records` is an iterable of
+    (ref_id, beg0, end0, voff_start, voff_end) in file order."""
+    per_ref: list[dict[int, list[tuple[int, int]]]] = [dict() for _ in range(n_ref)]
+    for rid, beg0, end0, vs, ve in records:
+        b = _reg2bin(beg0, end0, min_shift, depth)
+        per_ref[rid].setdefault(b, []).append((vs, ve))
+    out = bytearray()
+    out += b"CSI\x01" + struct.pack("<iii", min_shift, depth, 0)
+    out += struct.pack("<i", n_ref)
+    for bins in per_ref:
+        out += struct.pack("<i", len(bins))
+        for b in sorted(bins):
+            chunks = bins[b]
+            # merge adjacent chunks (records are in file order per bin)
+            merged = [list(chunks[0])]
+            for cb, ce in chunks[1:]:
+                if cb <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], ce)
+                else:
+                    merged.append([cb, ce])
+            out += struct.pack("<IQi", b, min(c[0] for c in merged), len(merged))
+            for cb, ce in merged:
+                out += struct.pack("<QQ", cb, ce)
+    with open(path, "wb") as fh:
+        view = memoryview(bytes(out))
+        for at in range(0, len(view), 0xFF00):
+            fh.write(_bgzf_block(bytes(view[at : at + 0xFF00])))
+        fh.write(_BGZF_EOF)
 
 
 # ---------------------------------------------------------------------------
@@ -123,17 +295,22 @@ def _skip_typed(buf: memoryview, at: int) -> int:
 
 
 class BcfFile:
-    """Sequential BCF2.2 reader exposing header metadata and GT decoding."""
+    """BCF2.2 reader: header metadata, GT decoding, optional .csi regions."""
 
     def __init__(self, path: str):
         self.path = path
-        self._fh = gzip.open(path, "rb")
+        self._fh = BgzfReader(path)
+        self._fh.seek_virtual(0)
         if self._fh.read(5) != _MAGIC:
             raise ValueError(f"{path}: not a BCF2 file")
         (l_text,) = struct.unpack("<I", self._fh.read(4))
         self.header_text = self._fh.read(l_text).rstrip(b"\x00").decode()
         self.contigs, self.strings, self.samples = _header_dicts(self.header_text)
         self._gt_keys = {i for i, s in self.strings.items() if s == "GT"}
+        self._data_voff = self._fh.tell_virtual()
+        self._index = None
+        if os.path.exists(path + ".csi"):
+            self._index = read_csi(path + ".csi")
 
     def close(self):
         self._fh.close()
@@ -144,17 +321,39 @@ class BcfFile:
     def __exit__(self, *exc):
         self.close()
 
+    def _index_seek(self, rid: int, start: int, end: int) -> bool:
+        "Jump to the earliest indexed chunk overlapping the region, if any."
+        min_shift, depth, refs = self._index
+        if rid >= len(refs) or not refs[rid]:
+            return False
+        starts = [
+            cb
+            for b in _reg2bins(start - 1, end, min_shift, depth)
+            if b in refs[rid]
+            for cb, _ce in refs[rid][b][1]
+        ]
+        if not starts:
+            return False
+        self._fh.seek_virtual(min(starts))
+        return True
+
     def records(self, contig: str, start: int, end: int) -> Iterator[tuple[int, np.ndarray]]:
         """Yield (1-based position, genotype matrix) for records in a region.
 
         The genotype matrix is int16 (n_samples, ploidy) of allele indices,
-        -1 where the call is missing, -2 past a sample's ploidy.  Assumes the
-        file is coordinate-sorted (as required by the spec) and stops early
-        once the region has been passed.
+        -1 where the call is missing, -2 past a sample's ploidy.  With a
+        .csi index next to the file the scan starts at the region's first
+        overlapping chunk; otherwise it runs from the first record.  Either
+        way the (coordinate-sorted) scan stops once the region is passed.
         """
         want = {i for i, name in self.contigs.items() if name == contig}
         if not want:
             raise ValueError(f"contig {contig!r} not in {self.path}")
+        if self._index is not None:
+            if not self._index_seek(min(want), start, end):
+                return  # region has no indexed records
+        else:
+            self._fh.seek_virtual(self._data_voff)
         in_contig = False
         while True:
             head = self._fh.read(8)
@@ -263,40 +462,72 @@ def _typed_string(s: str) -> bytes:
     return bytes([0xF7]) + _typed_int(len(b)) + b
 
 
-def write_bcf(path: str, header_text: str, records) -> None:
+class _BgzfWriter:
+    "Streams payload bytes into <=0xFF00-byte BGZF blocks, tracking voffsets."
+
+    def __init__(self, fh):
+        self._fh = fh
+        self._buf = bytearray()
+        self._coffset = 0
+
+    def tell_virtual(self) -> int:
+        return (self._coffset << 16) | len(self._buf)
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= 0xFF00:
+            self._flush(self._buf[:0xFF00])
+            del self._buf[:0xFF00]
+
+    def _flush(self, payload) -> None:
+        block = _bgzf_block(bytes(payload))
+        self._fh.write(block)
+        self._coffset += len(block)
+
+    def finish(self) -> None:
+        if self._buf:
+            self._flush(self._buf)
+            self._buf.clear()
+        self._fh.write(_BGZF_EOF)
+
+
+def write_bcf(path: str, header_text: str, records, index: bool = False) -> None:
     """Encode (chrom, 1-based pos, ref, alts, genotypes) records as BCF2.2.
 
     ``genotypes`` is a per-record list of per-sample allele tuples, with
     None for a missing allele, e.g. [(0, 1), (None, None)].  The header text
-    must contain the ##contig lines and the #CHROM sample columns.
+    must contain the ##contig lines and the #CHROM sample columns.  With
+    ``index=True`` a matching ``path + ".csi"`` is written as well.
     """
     contigs, strings, samples = _header_dicts(header_text)
     rid = {name: i for i, name in contigs.items()}
     gt_key = next(i for i, s in strings.items() if s == "GT")
-    body = bytearray()
-    hdr = header_text.encode() + b"\x00"
-    body += _MAGIC + struct.pack("<I", len(hdr)) + hdr
-    for chrom, pos, ref, alts, gts in records:
-        assert len(gts) == len(samples)
-        n_allele = 1 + len(alts)
-        shared = bytearray()
-        shared += struct.pack("<iiif", rid[chrom], pos - 1, len(ref), 0.0)
-        shared += struct.pack("<II", (n_allele << 16) | 0, (1 << 24) | len(samples))
-        shared += _typed_string("")  # ID
-        for a in (ref, *alts):
-            shared += _typed_string(a)
-        shared += bytes([0x11, 0x00])  # FILTER = [PASS]
-        indiv = bytearray()
-        indiv += _typed_int(gt_key)
-        ploidy = max(len(g) for g in gts)
-        indiv += bytes([(ploidy << 4) | 1])  # int8 vector per sample
-        for g in gts:
-            enc = [0 if a is None else ((a + 1) << 1) for a in g]
-            enc += [_EOV[1] & 0xFF] * (ploidy - len(g))
-            indiv += bytes(x & 0xFF for x in enc)
-        body += struct.pack("<II", len(shared), len(indiv)) + shared + indiv
+    ridx = []  # (rid, beg0, end0, voff_start, voff_end) for the index
     with open(path, "wb") as fh:
-        view = memoryview(bytes(body))
-        for at in range(0, len(view), 0xFF00):
-            fh.write(_bgzf_block(bytes(view[at : at + 0xFF00])))
-        fh.write(_BGZF_EOF)
+        w = _BgzfWriter(fh)
+        hdr = header_text.encode() + b"\x00"
+        w.write(_MAGIC + struct.pack("<I", len(hdr)) + hdr)
+        for chrom, pos, ref, alts, gts in records:
+            assert len(gts) == len(samples)
+            n_allele = 1 + len(alts)
+            shared = bytearray()
+            shared += struct.pack("<iiif", rid[chrom], pos - 1, len(ref), 0.0)
+            shared += struct.pack("<II", (n_allele << 16) | 0, (1 << 24) | len(samples))
+            shared += _typed_string("")  # ID
+            for a in (ref, *alts):
+                shared += _typed_string(a)
+            shared += bytes([0x11, 0x00])  # FILTER = [PASS]
+            indiv = bytearray()
+            indiv += _typed_int(gt_key)
+            ploidy = max(len(g) for g in gts)
+            indiv += bytes([(ploidy << 4) | 1])  # int8 vector per sample
+            for g in gts:
+                enc = [0 if a is None else ((a + 1) << 1) for a in g]
+                enc += [_EOV[1] & 0xFF] * (ploidy - len(g))
+                indiv += bytes(x & 0xFF for x in enc)
+            vs = w.tell_virtual()
+            w.write(struct.pack("<II", len(shared), len(indiv)) + shared + indiv)
+            ridx.append((rid[chrom], pos - 1, pos - 1 + len(ref), vs, w.tell_virtual()))
+        w.finish()
+    if index:
+        write_csi(path + ".csi", len(contigs), ridx)

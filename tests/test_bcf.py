@@ -136,3 +136,75 @@ def test_unknown_contig_raises(tmp_path):
 def test_unknown_sample_raises():
     with pytest.raises(ValueError, match="samples"):
         list(iter_bcf(FIXTURE, "chr1", 1, 100, ["nope"]))
+
+
+def test_csi_index_present_and_used():
+    "The committed fixture ships with a .csi; the reader must load it."
+    with BcfFile(FIXTURE) as f:
+        assert f._index is not None
+        min_shift, depth, refs = f._index
+        assert (min_shift, depth) == (14, 5)
+        assert len(refs) == 2  # chr1, chr2
+
+
+def test_indexed_region_equals_sequential(tmp_path):
+    "Indexed sub-region queries must equal the full sequential scan."
+    import shutil
+
+    bcf = str(tmp_path / "s.bcf")
+    shutil.copy(FIXTURE, bcf)
+    # no index: sequential truth
+    full = list(iter_bcf(bcf, "chr1", 1, 1_000_000, ["sampleA", "sampleB"]))
+    lo, hi = full[1000]["pos"], full[2000]["pos"]
+    want = [r for r in full if lo <= r["pos"] <= hi]
+    shutil.copy(FIXTURE + ".csi", bcf + ".csi")
+    got = list(iter_bcf(bcf, "chr1", lo, hi, ["sampleA", "sampleB"]))
+    assert [r["pos"] for r in got] == [r["pos"] for r in want]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["het"], w["het"])
+    # second contig through the index
+    got2 = list(iter_bcf(bcf, "chr2", 1, 500_000, ["sampleA"]))
+    want2 = list(iter_bcf(FIXTURE, "chr2", 1, 500_000, ["sampleA"]))
+    assert [r["pos"] for r in got2] == [r["pos"] for r in want2]
+
+
+def test_indexed_empty_region(tmp_path):
+    "A region with no indexed records yields nothing (and doesn't scan)."
+    recs = list(iter_bcf(FIXTURE, "chr2", 490_000, 499_999, ["sampleA"]))
+    seq_total = list(iter_bcf(FIXTURE, "chr2", 1, 500_000, ["sampleA"]))
+    tail = [r for r in seq_total if r["pos"] >= 490_000]
+    assert [r["pos"] for r in recs] == [r["pos"] for r in tail]
+
+
+def test_reg2bin_consistency():
+    from phlash_tpu.io.bcf import _reg2bin, _reg2bins
+
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        beg = int(rng.integers(0, 1 << 28))
+        end = beg + int(rng.integers(1, 1 << 18))
+        b = _reg2bin(beg, end, 14, 5)
+        # the containing bin must be among the overlap bins of any
+        # subinterval
+        mid = (beg + end) // 2
+        assert b in _reg2bins(beg, end, 14, 5)
+        assert b in _reg2bins(mid, mid + 1, 14, 5)
+
+
+def test_bgzf_virtual_seek(tmp_path):
+    from phlash_tpu.io.bcf import BgzfReader, _BgzfWriter
+
+    p = tmp_path / "t.bgzf"
+    payload = bytes(range(256)) * 1500  # ~384 KB -> several blocks
+    with open(p, "wb") as fh:
+        w = _BgzfWriter(fh)
+        # write in odd-sized pieces, remembering a mid-stream voffset
+        w.write(payload[:100_000])
+        mark = w.tell_virtual()
+        w.write(payload[100_000:])
+        w.finish()
+    r = BgzfReader(str(p))
+    r.seek_virtual(0)
+    assert r.read(len(payload)) == payload
+    r.seek_virtual(mark)
+    assert r.read(50) == payload[100_000:100_050]

@@ -49,8 +49,8 @@ def main():
     os.makedirs(os.path.dirname(out), exist_ok=True)
     records = list(make_records("chr1", 3000, 1_000_000, rng))
     records += list(make_records("chr2", 500, 500_000, rng))
-    write_bcf(out, HEADER, records)
-    print(f"wrote {out} ({os.path.getsize(out)} bytes)")
+    write_bcf(out, HEADER, records, index=True)
+    print(f"wrote {out} ({os.path.getsize(out)} bytes) + .csi")
 
 
 if __name__ == "__main__":
