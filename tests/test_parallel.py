@@ -135,3 +135,22 @@ def test_sharded_pallas_filter_matches_dense():
         jax.tree.map(lambda a: a.astype(jnp.float64), pps), warmup
     )
     np.testing.assert_allclose(np.asarray(pis), np.asarray(want), rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.slow  # another full step compile (~30 s)
+def test_multislice_mesh_step_matches_unsharded(program):
+    """Pod layout: slices outermost on the particle axis (n_slices=2).
+
+    On virtual CPU devices the slice split is notional, but the resulting
+    mesh and shardings are exactly what a 2-slice pod would use; the step
+    must still reproduce the single-device result."""
+    mesh = make_mesh(8, particle_axis=4, n_slices=2)
+    assert mesh.devices.shape == (4, 2)
+    key = jax.random.PRNGKey(9)
+    want = jax.jit(program.step)(program.state, key)
+    program.kern.data = jax.device_put(program.kern.data, chunk_sharding(mesh))
+    place, jit_step = shard_training_step(program.step, mesh)
+    state = place(program.state)
+    got = jit_step(state)(state, key)
+    for a, b in zip(jax.tree.leaves(got.particles), jax.tree.leaves(want.particles)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7)
