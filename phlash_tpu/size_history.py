@@ -156,7 +156,11 @@ class SizeHistory(NamedTuple):
         This is the expected (unnormalized) site-frequency spectrum under the
         history; W is the exact Polanski–Kimmel rational-recurrence matrix.
         """
-        return jnp.asarray(_W_matrix(n)) @ self.etjj(n)
+        etjj = self.etjj(n)
+        # W in the working dtype: a f64 matmul here would silently promote
+        # an otherwise-f32 model (and large f64 matmuls break the v5e
+        # compiler); W's entries are exact in f64 and fine rounded to f32
+        return jnp.asarray(_W_matrix(n), dtype=etjj.dtype) @ etjj
 
     # -- quantiles / metrics --------------------------------------------------
     def quantile(self, q: float) -> float:

@@ -121,13 +121,20 @@ def build_training(
         )
     assert isinstance(init, MCMCParams)
 
-    # particle cloud: Gaussian around the init in flattened coordinates
+    # particle cloud: Gaussian around the init in flattened coordinates.
+    # The cloud (and with it the whole differentiated assembly graph) lives
+    # in float32 by default: the transition assembly is cancellation-free
+    # (see transition._expQ2), so f32 parameters lose no posterior accuracy,
+    # and f64 would be software-emulated on TPU — it dominated the per-step
+    # fixed cost.  double_precision_params=True restores the old behavior.
+    pdtype = jnp.float64 if options.get("double_precision_params") else jnp.float32
+    init = jax.tree.map(lambda a: jnp.asarray(a, pdtype), init)
     num_particles = options.get("num_particles", 500)
     x0, unravel = ravel_pytree(init)
     key, k_init = jax.random.split(key)
-    cov = options.get("sigma", 1.0) * jnp.eye(len(x0))
+    cov = options.get("sigma", 1.0) * jnp.eye(len(x0), dtype=pdtype)
     draws = jax.random.multivariate_normal(k_init, x0, cov, shape=(num_particles,))
-    particles = jax.vmap(unravel)(draws)
+    particles = jax.vmap(unravel)(draws.astype(pdtype))
 
     opt = optax.amsgrad(learning_rate=options.get("learning_rate", 0.1))
     # one backward pass over the whole particle cloud: particles are

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from phlash_tpu.size_history import DemographicModel
+from phlash_tpu.utils import texp_mean
 
 
 def expQ(r, c, n):
@@ -62,48 +63,130 @@ def expQ(r, c, n):
     )
 
 
+def _expQ2(r, c, n):
+    """The 2×2 live block of e^Q plus stable per-row absorption.
+
+    Returns (P2 (2, 2), p02, p12) where p02/p12 = P(absorbed | start 0/1).
+    All quantities are computed without subtracting near-1 values, so the
+    tiny absorption probabilities keep full *relative* accuracy in float32
+    (the reason the original ``1 - p00 - p01`` form needed float64):
+
+    * row 1: p12 = -[(u+κ)·expm1(u-v) + (u-κ)·expm1(-u-v)] / 2u with
+      κ = c + (r - c·n)/2 — the leading terms reinforce, no cancellation;
+    * row 0 has κ = v, where the two expm1 terms cancel to O(u·v); for
+      small scales it switches to the exact series
+      p02 = a·b · Σ_{k≥2} h_{k-2}(a, b) / k!,  a = u-v, b = -(u+v),
+      with h_m the complete homogeneous polynomial and a·b = c·r·(n-1).
+    """
+    u = jnp.sqrt((c * n) ** 2 - 2.0 * c * (n - 2) * r + r**2) / 2.0
+    v = (r + c * n) / 2.0
+    w = (r - c * n) / 2.0
+    ab = c * r * (n - 1)  # == -(u² - v²), exact
+    # a = u - v would cancel catastrophically when u ≈ v (r << c); the
+    # identity a = (u² - v²)/(u + v) is exact and well-conditioned
+    upv = u + v
+    a = -ab / jnp.where(upv == 0.0, 1.0, upv)
+    b = -upv
+    ea, eb = jnp.expm1(a), jnp.expm1(b)
+
+    tiny = u < 1e-6
+    u_ok = jnp.where(tiny, 1.0, u)
+    exp_a, exp_b = jnp.exp(a), jnp.exp(b)  # both <= 1: a, b <= 0
+    # (e^a - e^b) as expm1(a) - expm1(b): exact where both exps are near 1
+    shu = jnp.where(
+        tiny, jnp.exp(-v) * (1.0 + u_ok**2 / 6.0), (ea - eb) / (2.0 * u_ok)
+    )
+    # u ± w: one of the pair cancels when |w| ≈ u (r << c·n or >>); recover
+    # it from the exact identity u² - w² = c·r through the stable one
+    big = jnp.maximum(u + jnp.abs(w), 1e-300)
+    small = c * r / big
+    s_plus = jnp.where(w <= 0, small, big)  # u + w
+    s_minus = jnp.where(w <= 0, big, small)  # u - w
+    p00 = jnp.where(
+        tiny, jnp.exp(-v) * (1.0 - w), (exp_a * s_minus + exp_b * s_plus) / (2.0 * u_ok)
+    )
+    p11 = jnp.where(
+        tiny, jnp.exp(-v) * (1.0 + w), (exp_a * s_plus + exp_b * s_minus) / (2.0 * u_ok)
+    )
+    P2 = jnp.array([[p00, r * shu], [c * shu, p11]])
+
+    # row 0 absorption
+    generic0 = (b * ea - a * eb) / (2.0 * u_ok)
+    series, h, bp, fact = 0.0, jnp.ones_like(a), jnp.ones_like(a), 2.0
+    for k in range(2, 8):  # truncation error O(scale^6 / 8!) — below f32 eps
+        series = series + h / fact
+        bp = bp * b
+        h = a * h + bp
+        fact = fact * (k + 1)
+    p02 = jnp.where(jnp.maximum(jnp.abs(a), jnp.abs(b)) < 0.05, ab * series, generic0)
+
+    # row 1 absorption
+    kappa = c + w
+    generic1 = -((u_ok + kappa) * ea + (u_ok - kappa) * eb) / (2.0 * u_ok)
+    limit1 = -(jnp.expm1(-v) + kappa * jnp.exp(-v))  # u -> 0
+    p12 = jnp.where(tiny, limit1, generic1)
+    return P2, p02, p12
+
+
 def transition_matrix(dm: DemographicModel, n: int = 2) -> jax.Array:
     """M×M SMC' transition matrix between discretized TMRCA intervals.
 
     Strategy (reference: transition.py:37-85): augment the time grid with the
-    per-interval expected coalescence times, propagate the 3-state chain
-    across all 2M+1 sub-intervals with an associative matmul scan, and read
-    off lower / diagonal / upper entries from the cumulative products.
+    per-interval expected coalescence times and propagate the 3-state chain
+    across all sub-intervals.  Unlike the reference, only the 2×2 live block
+    is scanned (absorption never flows back), and absorbed mass is
+    accumulated per sub-interval as a0·p02 + a1·p12 from the stable per-row
+    absorption probabilities — never as a difference of near-1 cumulative
+    products.  This keeps every entry accurate in *relative* terms at
+    float32 (the original formulation required float64 assembly).
     """
     eta = dm.eta
     c_adj = eta.c * (n - 1)
     t = eta.t
     dt = jnp.diff(t)
-    ect = eta.ect()
 
-    # interleave breakpoints and expected coal times: t0, e0, t1, e1, ...
-    grid = jnp.stack([t, ect], axis=1).reshape(-1)
-    dgrid = jnp.diff(grid)
+    # sub-interval lengths t_i->e_i and e_i->t_{i+1}, computed directly from
+    # the truncated-exponential mean fraction (e_i = t_i + dt_i*g_i): a
+    # float32 diff of the interleaved grid would cancel catastrophically
+    # when dt << t
+    gfrac = texp_mean(eta.c[:-1] * dt)
+    d_te = jnp.append(jnp.maximum(dt * gfrac, 0.0), 1.0 / eta.c[-1])
+    d_et = jnp.maximum(dt * (1.0 - gfrac), 0.0)
+    dgrid = jnp.append(jnp.stack([d_te[:-1], d_et], axis=1).reshape(-1), d_te[-1])
     degenerate = jnp.isclose(dgrid, 0.0)
     dgrid_ok = jnp.where(degenerate, 1.0, dgrid)
     c_rep = jnp.repeat(eta.c, 2)[:-1]
-    P = jax.vmap(expQ, (0, 0, None))(2.0 * dgrid_ok * dm.rho, dgrid_ok * c_rep, n)
-    P = jnp.where(degenerate[:, None, None], jnp.eye(3)[None], P)
-    absorbing = jnp.full((3, 3), 0.0).at[:, 2].set(1.0)
-    P = jnp.concatenate([jnp.eye(3)[None], P, absorbing[None]], axis=0)
-    cum = jax.lax.associative_scan(jnp.matmul, P)
-    at_t = cum[::2]  # chain state at each breakpoint t_k
-    at_e = cum[1::2]  # chain state at each expected coal time e_k
+    P2, p02, p12 = jax.vmap(_expQ2, (0, 0, None))(
+        2.0 * dgrid_ok * dm.rho, dgrid_ok * c_rep, n
+    )
+    P2 = jnp.where(degenerate[:, None, None], jnp.eye(2)[None], P2)
+    p02 = jnp.where(degenerate, 0.0, p02)
+    p12 = jnp.where(degenerate, 0.0, p12)
+    cum2 = jax.lax.associative_scan(
+        jnp.matmul, jnp.concatenate([jnp.eye(2)[None], P2], axis=0)
+    )
+    a0, a1 = cum2[:, 0, 0], cum2[:, 0, 1]  # live occupancy entering interval k
+    # absorbed mass within sub-interval k; a trailing pseudo-interval with
+    # p02 = p12 = 1 plays the reference's absorbing tail block
+    inc = jnp.append(a0[:-1] * p02 + a1[:-1] * p12, a0[-1] + a1[-1])
+
+    at_e0, at_e1 = a0[1::2], a1[1::2]  # live occupancy at each e_i
 
     i, j = jnp.ogrid[: dm.M, : dm.M]
 
-    # lower triangle: recombined lineage re-coalesces in an earlier interval j
-    lower = jnp.diff(at_t[:, 0, 2])[jnp.broadcast_to(j, (dm.M, dm.M))] * (i > j)
+    # lower triangle: absorption within full interval j = its two halves
+    lower_j = inc[0::2] + inc[1::2]
+    lower = lower_j[jnp.broadcast_to(j, (dm.M, dm.M))] * (i > j)
 
     # diagonal: no recombination by e_i, or floating at e_i but re-coalescing
-    # before t_{i+1}, or already re-coalesced within the interval
-    p_back = jnp.append(-jnp.expm1(-(t[1:] - ect[:-1]) * c_adj[:-1]), 1.0)
-    diag = at_e[:, 0, 0] + at_e[:, 0, 1] * p_back + (at_e[:, 0, 2] - at_t[:-1, 0, 2])
+    # before t_{i+1}, or already re-coalesced within [t_i, e_i]
+    p_back = jnp.append(-jnp.expm1(-d_et * c_adj[:-1]), 1.0)
+    diag = at_e0 + at_e1 * p_back + inc[0::2]
 
     # upper triangle: floating at e_i, survives to t_{i+1}, then survives each
     # intermediate interval l and finally coalesces in interval j
-    esc = jnp.append(jnp.exp(-(t[1:] - ect[:-1]) * c_adj[:-1]), 0.0)
-    p_float_out = (at_e[:, 0, 1] * esc).clip(1e-8, 1.0 - 1e-8)  # leaves interval i
+    esc = jnp.append(jnp.exp(-d_et * c_adj[:-1]), 0.0)
+    p_float_out = (at_e1 * esc).clip(1e-8, 1.0 - 1e-8)  # leaves interval i
     p_surv = jnp.append(jnp.exp(-dt * c_adj[:-1]), 0.0).clip(1e-8, 1.0 - 1e-8)
     p_coal = jnp.append(-jnp.expm1(-dt * c_adj[:-1]), 1.0).clip(1e-8, 1.0 - 1e-8)
     # prod_{i < l < j} p_surv[l] via cumulative log sums (exclusive prefix)

@@ -1,6 +1,7 @@
 """Transition-matrix oracles (cf. reference tests/test_transition.py:21-48)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.integrate
@@ -58,10 +59,13 @@ def test_q_s_integrates_to_one(dm):
     np.testing.assert_allclose(val + float(atom), 1.0, rtol=1e-5)
 
 
-def test_assembly_runs_in_float64(dm):
-    """Regression guard for the f32-assembly catastrophe: with package-default
-    x64, from_dm/transition_matrix must produce float64, and the small
-    lower-triangle entries must be meaningful (not complement noise)."""
+def test_assembly_dtype_follows_inputs(dm):
+    """The assembly respects the input dtype (f64 here under package x64),
+    and the small lower-triangle entries are meaningful — strictly positive,
+    stable under tiny perturbation — not complement noise.  (Historically
+    the f32 assembly was catastrophically wrong, forcing f64; the
+    cancellation-free rewrite made f32 safe — see
+    test_assembly_f32_matches_f64.)"""
     from phlash_tpu.params import PSMCParams
 
     A = transition_matrix(dm)
@@ -73,8 +77,35 @@ def test_assembly_runs_in_float64(dm):
     col0 = np.asarray(A[1:, 0])
     assert (col0 > 0).all()
     assert col0.max() < 1e-4
-    # an f32 assembly cannot represent these to better than ~100% relative
-    # error; f64 must agree with itself after a tiny perturbation to ~1e-6
     dm2 = dm._replace(rho=dm.rho * (1 + 1e-9))
     col0b = np.asarray(transition_matrix(dm2)[1:, 0])
     np.testing.assert_allclose(col0, col0b, rtol=1e-5)
+
+
+def test_assembly_f32_matches_f64():
+    """The assembly must be cancellation-free: float32 reproduces float64 to
+    ~1e-5 relative on every entry above 1e-12, across realistic geometric
+    grids.  (The original formulation was off by up to ~12% in f32 — the
+    reason round-1 forced f64 parameter assembly.)"""
+    rng = np.random.default_rng(11)
+    worst = 0.0
+    for _ in range(10):
+        t1 = 10 ** rng.uniform(-5, -3)
+        tM = 10 ** rng.uniform(0.5, 1.5)
+        t = np.concatenate([[0.0], np.geomspace(t1, tM, 15)])
+        cvals = 10 ** rng.uniform(-1.3, 1.3, 16)
+        theta = 10 ** rng.uniform(-4, -1)
+        rho = theta * 10 ** rng.uniform(-1, 1)
+
+        def build(dtype):
+            dm_ = DemographicModel(
+                eta=SizeHistory(t=jnp.asarray(t, dtype), c=jnp.asarray(cvals, dtype)),
+                theta=dtype(theta),
+                rho=dtype(rho),
+            )
+            return np.asarray(transition_matrix(dm_))
+
+        A64, A32 = build(jnp.float64), build(jnp.float32)
+        mask = A64 > 1e-12
+        worst = max(worst, (np.abs(A32 - A64) / A64)[mask].max())
+    assert worst < 3e-5, worst
