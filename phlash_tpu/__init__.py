@@ -20,13 +20,12 @@ os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 
 import jax as _jax
 
-# Parameter ASSEMBLY must run in float64: the SMC' transition matrix's small
-# entries are computed through complements/differences of near-1 cumulative
-# products, and float32's ~1e-7 absolute error is a ~100% relative error on
-# them — enough to visibly distort inferred histories.  Compute-heavy paths
-# (the Pallas/XLA likelihood kernels) cast their inputs to float32
-# explicitly, so device throughput is unaffected.  (The reference makes the
-# same choice: /root/reference/src/phlash/__init__.py:16.)
+# x64 stays enabled for host-side oracle math and user-supplied f64 models
+# (the reference makes the same choice, /root/reference/src/phlash/
+# __init__.py:16).  The TRAINING path no longer needs it: the transition
+# assembly is cancellation-free (phlash_tpu.transition._expQ2), so the SVGD
+# particle cloud and its differentiated graph run float32 end-to-end by
+# default (double_precision_params=True restores f64 parameters).
 _jax.config.update("jax_enable_x64", True)
 
 # TPU kernel compiles are expensive (minutes); persist them across runs.
