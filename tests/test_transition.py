@@ -89,7 +89,7 @@ def test_assembly_f32_matches_f64():
     reason round-1 forced f64 parameter assembly.)"""
     rng = np.random.default_rng(11)
     worst = 0.0
-    for _ in range(10):
+    for _ in range(5):
         t1 = 10 ** rng.uniform(-5, -3)
         tM = 10 ** rng.uniform(0.5, 1.5)
         t = np.concatenate([[0.0], np.geomspace(t1, tM, 15)])
