@@ -16,6 +16,7 @@ aggregate allele-frequency spectrum.  Capability parity with the reference
 
 from __future__ import annotations
 
+import os
 import gzip
 import logging
 import re
@@ -393,17 +394,29 @@ class VcfContig(Contig):
     # small enough that memory stays O(block) for whole-genome inputs
     _STREAM_BLOCK = 16 << 20
 
-    def _iter_line_blocks(self) -> Iterable[bytes]:
+    def _iter_line_blocks(self, start_voff: int = None) -> Iterable[bytes]:
         """Yield the file as blocks of complete lines (~_STREAM_BLOCK bytes).
 
         Works for plain and gzip text (gzip decompresses incrementally —
         BGZF files are valid multi-member gzip streams, so tabix-compressed
         .vcf.gz inputs stream too).  This replaces the whole-file read: a
         3 Gb-genome VCF never has more than one block resident.
+
+        For a bgzipped file, `start_voff` (a BGZF virtual offset from a
+        .tbi index) starts decompression at that block and skips into it,
+        so a region query reads only the region's blocks.
         """
-        opener = gzip.open if self.vcf_file.endswith(".gz") else open
+        if self.vcf_file.endswith(".gz"):
+            raw = open(self.vcf_file, "rb")
+            if start_voff is not None:
+                raw.seek(start_voff >> 16)
+            fh = gzip.GzipFile(fileobj=raw)
+            if start_voff is not None:
+                fh.read(start_voff & 0xFFFF)
+        else:
+            fh = open(self.vcf_file, "rb")
         tail = b""
-        with opener(self.vcf_file, "rb") as fh:
+        with fh:
             while True:
                 block = fh.read(self._STREAM_BLOCK)
                 if not block:
@@ -417,6 +430,18 @@ class VcfContig(Contig):
                 yield block
         if tail:
             yield tail
+
+    def _header_samples(self) -> list[str]:
+        "Sample columns from the #CHROM header line (reads the file head)."
+        for block in self._iter_line_blocks():
+            hdr_at = block.find(b"#CHROM")
+            if hdr_at < 0:
+                if not block.lstrip().startswith(b"#"):
+                    break  # records began without a header
+                continue
+            hdr = block[hdr_at: block.index(b"\n", hdr_at)].decode().split("\t")
+            return hdr[9:]
+        raise ValueError("malformed VCF: no #CHROM header line")
 
     def _get_data_fast(self, window_size: int) -> dict[str, np.ndarray] | None:
         """Streaming vectorized path: C tokenizer over ~16 MB blocks of
@@ -441,22 +466,35 @@ class VcfContig(Contig):
         W = (end - start + 1) // window_size
         H = np.zeros([S, W], dtype=bool)
         afs = np.zeros(2 * S + 1, dtype=np.int64)
-        cols = order = None
-        seen_region = False
-        for block in self._iter_line_blocks():
-            if cols is None:  # header not located yet
-                hdr_at = block.find(b"#CHROM")
-                if hdr_at < 0:
-                    continue
-                hdr = block[hdr_at: block.index(b"\n", hdr_at)].decode().split("\t")
-                all_samples = hdr[9:]
-                missing = set(self.samples) - set(all_samples)
-                if missing:
-                    raise ValueError(f"samples not found in the vcf: {missing}")
-                cols = sorted(9 + all_samples.index(s) for s in self.samples)
-                order = np.argsort(
-                    np.argsort([9 + all_samples.index(s) for s in self.samples])
+
+        all_samples = self._header_samples()
+        missing = set(self.samples) - set(all_samples)
+        if missing:
+            raise ValueError(f"samples not found in the vcf: {missing}")
+        cols = sorted(9 + all_samples.index(s) for s in self.samples)
+        order = np.argsort(
+            np.argsort([9 + all_samples.index(s) for s in self.samples])
+        )
+
+        # a .tbi next to a bgzipped file turns the scan into a seek + short
+        # stream (records before the region may still appear; the position
+        # filter below handles them)
+        voff = None
+        if self.vcf_file.endswith(".gz") and os.path.exists(self.vcf_file + ".tbi"):
+            try:
+                from phlash_tpu.io.tabix import region_start_voff
+
+                voff = region_start_voff(
+                    self.vcf_file + ".tbi", self.contig, start, end
                 )
+                if voff is None:  # indexed, and nothing overlaps the region
+                    return dict(het_matrix=H.astype(np.int8), afs=afs[1:-1])
+            except Exception:  # pragma: no cover - malformed index: full scan
+                logger.warning("unreadable .tbi for %s; scanning", self.vcf_file)
+                voff = None
+
+        seen_region = False
+        for block in self._iter_line_blocks(voff):
             parsed = parse_vcf_lines(block, cols, contig=self.contig)
             if parsed is None:  # pragma: no cover - backend vanished mid-file
                 return None
@@ -477,8 +515,6 @@ class VcfContig(Contig):
                 afs += np.bincount(nd, minlength=2 * S + 1)[: 2 * S + 1]
             if past:  # sorted VCF: everything further is beyond the interval
                 break
-        if cols is None:
-            raise ValueError("malformed VCF: no #CHROM header line")
         return dict(het_matrix=H.astype(np.int8), afs=afs[1:-1])
 
     def get_data(self, window_size: int = 100) -> dict[str, np.ndarray]:

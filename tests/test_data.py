@@ -151,3 +151,41 @@ def test_init_mcmc_data(rng):
     np.testing.assert_array_equal(afs, [20, 10, 4])
     assert chunks.shape[1] == 1100
     assert chunks.dtype == np.int8
+
+
+@pytest.mark.parametrize("region", ["chr1:1-148000", "chr2:50000-100000"])
+def test_vcf_tabix_indexed_fetch(tmp_path, monkeypatch, region):
+    "A native .tbi next to a bgzipped VCF must give identical results."
+    from phlash_tpu.io.tabix import read_tbi, region_start_voff, write_tabixed_vcf
+
+    text = _synthetic_vcf(3000, contigs=("chr0", "chr1", "chr2"))
+    p = str(tmp_path / "t.vcf.gz")
+    write_tabixed_vcf(p, text)
+    monkeypatch.setattr(VcfContig, "_STREAM_BLOCK", 1 << 12)
+    chrom, span = region.split(":")
+    samples = ["sA", "sB"]
+    with_idx = contig(p, samples=samples, region=region).get_data(100)
+    # the later contigs must start at a nonzero virtual offset
+    lo, hi = (int(x) for x in span.split("-"))
+    voff = region_start_voff(p + ".tbi", chrom, lo, hi)
+    assert voff is not None and voff > 0
+    names, _refs = read_tbi(p + ".tbi")
+    assert names == ["chr0", "chr1", "chr2"]
+    import os as _os
+
+    _os.remove(p + ".tbi")
+    without = contig(p, samples=samples, region=region).get_data(100)
+    np.testing.assert_array_equal(with_idx["het_matrix"], without["het_matrix"])
+    np.testing.assert_array_equal(with_idx["afs"], without["afs"])
+    assert with_idx["het_matrix"].any()
+
+
+def test_vcf_tabix_empty_region(tmp_path):
+    "An indexed region with no records returns empty data without scanning."
+    from phlash_tpu.io.tabix import write_tabixed_vcf
+
+    text = _synthetic_vcf(200, contigs=("c1",), spacing=10)
+    p = str(tmp_path / "e.vcf.gz")
+    write_tabixed_vcf(p, text)
+    d = contig(p, samples=["sA"], region="c1:1000000-2000000").get_data(100)
+    assert d["het_matrix"].sum() == 0 and d["afs"].sum() == 0
