@@ -20,12 +20,12 @@ os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 
 import jax as _jax
 
-# x64 stays enabled for host-side oracle math and user-supplied f64 models
-# (the reference makes the same choice, /root/reference/src/phlash/
-# __init__.py:16).  The TRAINING path no longer needs it: the transition
-# assembly is cancellation-free (phlash_tpu.transition._expQ2), so the SVGD
-# particle cloud and its differentiated graph run float32 end-to-end by
-# default (double_precision_params=True restores f64 parameters).
+# x64 stays enabled: parameter assembly runs in float64 by default (the
+# reference makes the same choice, /root/reference/src/phlash/__init__.py:16).
+# The assembly VALUES are now cancellation-free in f32 too
+# (phlash_tpu.transition._expQ2), and double_precision_params=False opts
+# into a ~2.7x-faster all-f32 differentiated graph — experimental: its
+# gradient path currently degrades posterior recovery (docs/DESIGN.md).
 _jax.config.update("jax_enable_x64", True)
 
 # TPU kernel compiles are expensive (minutes); persist them across runs.

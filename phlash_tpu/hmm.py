@@ -33,7 +33,11 @@ def matvec_smc(v: jax.Array, pp: PSMCParams) -> jax.Array:
     diag : out[j] += d[j] * v[j]
     upper: out[j] += v_col[j] * sum_{i<j} u[i] v[i]   (exclusive prefix sums)
     """
-    suffix = lax.associative_scan(operator.add, jnp.append(v, 0.0)[1:], reverse=True)
+    # dtype-stable append: a python 0.0 through jnp.append materializes as
+    # f64 under x64 and silently promotes an f32 chain
+    suffix = lax.associative_scan(
+        operator.add, jnp.append(v, jnp.zeros_like(v[:1]))[1:], reverse=True
+    )
     weighted = pp.u * v
     prefix = jnp.concatenate([jnp.zeros_like(v[:1]), jnp.cumsum(weighted)[:-1]])
     return suffix * pp.b + pp.d * v + prefix * pp.v

@@ -114,9 +114,12 @@ class MCMCParams:
             c_tr=softplus_inv(jnp.asarray(c)),
             rho_over_theta_tr=jax.scipy.special.logit((rho / theta - 0.1) / 9.9),
             pattern=pattern,
-            theta=theta,
-            alpha=alpha,
-            beta=beta,
+            # static numerics as plain python floats: a strongly-typed numpy
+            # scalar (e.g. a np.float64 Watterson estimate) would otherwise
+            # promote the whole f32 assembly graph back to f64
+            theta=float(theta),
+            alpha=float(alpha),
+            beta=float(beta),
         )
 
     # -- constrained views ---------------------------------------------------

@@ -122,12 +122,14 @@ def build_training(
     assert isinstance(init, MCMCParams)
 
     # particle cloud: Gaussian around the init in flattened coordinates.
-    # The cloud (and with it the whole differentiated assembly graph) lives
-    # in float32 by default: the transition assembly is cancellation-free
-    # (see transition._expQ2), so f32 parameters lose no posterior accuracy,
-    # and f64 would be software-emulated on TPU — it dominated the per-step
-    # fixed cost.  double_precision_params=True restores the old behavior.
-    pdtype = jnp.float64 if options.get("double_precision_params") else jnp.float32
+    # double_precision_params=False runs the whole differentiated assembly
+    # graph in float32 (the transition assembly is cancellation-free, see
+    # transition._expQ2, and the step runs ~2.7x faster: the f64 assembly
+    # is software-emulated on TPU).  It is OFF by default for now: assembly
+    # VALUES match f64 to ~3e-6, but posterior recovery on the bottleneck
+    # benchmark degrades with the f32 gradient path (tv 0.49 vs 0.14) —
+    # the gradient-precision culprit is still being isolated.
+    pdtype = jnp.float64 if options.get("double_precision_params", True) else jnp.float32
     init = jax.tree.map(lambda a: jnp.asarray(a, pdtype), init)
     num_particles = options.get("num_particles", 500)
     x0, unravel = ravel_pytree(init)

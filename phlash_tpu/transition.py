@@ -159,11 +159,13 @@ def transition_matrix(dm: DemographicModel, n: int = 2) -> jax.Array:
     P2, p02, p12 = jax.vmap(_expQ2, (0, 0, None))(
         2.0 * dgrid_ok * dm.rho, dgrid_ok * c_rep, n
     )
-    P2 = jnp.where(degenerate[:, None, None], jnp.eye(2)[None], P2)
+    eye2 = jnp.eye(2, dtype=P2.dtype)  # dtype-pinned: jnp.eye defaults to
+    # f64 under x64 and would silently promote an f32 assembly
+    P2 = jnp.where(degenerate[:, None, None], eye2[None], P2)
     p02 = jnp.where(degenerate, 0.0, p02)
     p12 = jnp.where(degenerate, 0.0, p12)
     cum2 = jax.lax.associative_scan(
-        jnp.matmul, jnp.concatenate([jnp.eye(2)[None], P2], axis=0)
+        jnp.matmul, jnp.concatenate([eye2[None], P2], axis=0)
     )
     a0, a1 = cum2[:, 0, 0], cum2[:, 0, 1]  # live occupancy entering interval k
     # absorbed mass within sub-interval k; a trailing pseudo-interval with
@@ -190,7 +192,7 @@ def transition_matrix(dm: DemographicModel, n: int = 2) -> jax.Array:
     p_surv = jnp.append(jnp.exp(-dt * c_adj[:-1]), 0.0).clip(1e-8, 1.0 - 1e-8)
     p_coal = jnp.append(-jnp.expm1(-dt * c_adj[:-1]), 1.0).clip(1e-8, 1.0 - 1e-8)
     # prod_{i < l < j} p_surv[l] via cumulative log sums (exclusive prefix)
-    cls = jnp.concatenate([jnp.zeros(1), jnp.cumsum(jnp.log(p_surv))])
+    cls = jnp.concatenate([jnp.zeros_like(p_surv[:1]), jnp.cumsum(jnp.log(p_surv))])
     log_span = cls[jnp.maximum(j, i + 1)] - cls[i + 1]  # sum over l in (i, j)
     upper = p_float_out[i] * jnp.exp(log_span) * p_coal[j] * (j > i)
 

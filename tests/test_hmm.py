@@ -64,3 +64,30 @@ def test_psmc_ll_grad_finite(pp, data):
     g = jax.grad(lambda p: psmc_ll(p, data[0])[1])(pp)
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_f32_particles_stay_f32_end_to_end():
+    """A float32 particle (even with a numpy-f64 Watterson theta in the
+    static fields) must produce an all-float32 PSMCParams and a float32
+    psmc_ll — a single strongly-typed scalar used to promote the whole
+    assembly graph back to f64 silently."""
+    import jax
+    import jax.numpy as jnp
+
+    from phlash_tpu.params import MCMCParams, PSMCParams
+
+    mcp = MCMCParams.from_linear(
+        pattern="14*1+1*2",
+        t1=1e-4,
+        tM=15.0,
+        c=jnp.ones(15),
+        theta=np.float64(1e-2),  # numpy scalar on purpose
+        rho=np.float64(1e-2),
+        alpha=np.float64(0.0),
+        beta=np.float64(0.0),
+    )
+    mcp32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), mcp)
+    pp32 = PSMCParams.from_dm(mcp32.to_dm())
+    assert {str(leaf.dtype) for leaf in pp32} == {"float32"}
+    alpha, ll = psmc_ll(pp32, jnp.zeros(32, jnp.int8))
+    assert alpha.dtype == jnp.float32 and ll.dtype == jnp.float32

@@ -1,6 +1,7 @@
 """Simulator sanity (cf. reference tests/test_sim.py, dependency-free tier)."""
 
 import numpy as np
+import pytest
 
 from phlash_tpu.hmm import psmc_ll_dm
 from phlash_tpu.sim import (
@@ -25,6 +26,7 @@ def test_simulate_missing():
     assert 0.2 < frac < 0.4
 
 
+@pytest.mark.slow  # statistical check over a long simulated sequence (~6 s)
 def test_het_rate_matches_expectation():
     """Empirical het rate ~ E_pi[emis1].  Tolerance is loose because TMRCA
     segments are long-range correlated, shrinking the effective sample."""

@@ -47,6 +47,7 @@ def test_rows_sum_to_one_variable(rng):
     np.testing.assert_allclose(A.sum(1), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow  # scipy.quad oracle (~7 s); related quadrature oracles run fast in test_size_history
 def test_q_s_integrates_to_one(dm):
     "Continuous density + atom must integrate to 1 (quadrature oracle)."
     s = 1.0
