@@ -96,6 +96,11 @@ def main():
                 "extra": {
                     "fwd_only_Msites_per_sec": round(ours_fwd, 1),
                     "baseline_fwd_grad_Msites_per_sec": round(base, 1),
+                    # the scan baseline is too slow to time at the full
+                    # production length; each kernel's L is recorded so the
+                    # ratio's asymmetry is self-describing
+                    "ours_L": L,
+                    "baseline_L": L_base,
                 },
             }
         )

@@ -334,9 +334,19 @@ def _iter_vcf_pysam(path: str, contig: str, start: int, end: int, samples: list[
             yield dict(pos=rec.pos, het=het, nd=nd)
 
 
+class _FastPathUnavailable(Exception):
+    "Raised when the streaming C fast path vanishes mid-scan (fall back)."
+
+
 @dataclass(frozen=True)
 class VcfContig(Contig):
     """Data from a VCF/BCF file restricted to one region.
+
+    Records are expected to be coordinate-sorted within each contig (the
+    VCF spec requires this and htslib-indexed files guarantee it); the
+    streaming reader early-stops once the region has been passed.  If
+    out-of-order positions are detected the file is rescanned in full, with
+    a warning, so unsorted input still parses correctly — just slower.
 
     Args:
         vcf_file: path to a .vcf, .vcf.gz or .bcf file
@@ -493,28 +503,57 @@ class VcfContig(Contig):
                 logger.warning("unreadable .tbi for %s; scanning", self.vcf_file)
                 voff = None
 
-        seen_region = False
-        for block in self._iter_line_blocks(voff):
-            parsed = parse_vcf_lines(block, cols, contig=self.contig)
-            if parsed is None:  # pragma: no cover - backend vanished mid-file
-                return None
-            pos, het, nd = parsed
-            if len(pos) == 0:
-                if seen_region:  # sorted VCF: the contig's section has ended
-                    break
-                continue
-            keep = (pos >= start) & (pos <= end)
-            past = bool((pos > end).any())
-            pos, het, nd = pos[keep], het[keep][:, order], nd[keep]
-            if len(pos):
-                seen_region = True
-                win = np.minimum((pos - start) // window_size, W - 1).astype(np.int64)
-                hot = het.T > 0  # (S, R)
-                rows = np.broadcast_to(np.arange(S)[:, None], hot.shape)
-                np.logical_or.at(H, (rows, np.broadcast_to(win[None], hot.shape)), hot)
-                afs += np.bincount(nd, minlength=2 * S + 1)[: 2 * S + 1]
-            if past:  # sorted VCF: everything further is beyond the interval
-                break
+        def scan(early_stop: bool) -> bool:
+            "Accumulate into H/afs; returns False if disorder forces a rescan."
+            nonlocal afs
+            seen_region = False
+            last_pos = -1
+            for block in self._iter_line_blocks(voff if early_stop else None):
+                parsed = parse_vcf_lines(block, cols, contig=self.contig)
+                if parsed is None:  # pragma: no cover - backend vanished mid-file
+                    raise _FastPathUnavailable
+                pos, het, nd = parsed
+                if len(pos) == 0:
+                    if seen_region and early_stop:
+                        break  # sorted VCF: the contig's section has ended
+                    continue
+                if early_stop and (
+                    pos[0] < last_pos or bool((np.diff(pos) < 0).any())
+                ):
+                    # the early-stop scan assumes coordinate-sorted records;
+                    # rescan the whole file rather than silently drop any
+                    logger.warning(
+                        "%s: records are not coordinate-sorted; falling back "
+                        "to a full scan",
+                        self.vcf_file,
+                    )
+                    return False
+                last_pos = int(pos[-1])
+                keep = (pos >= start) & (pos <= end)
+                past = bool((pos > end).any())
+                pos_k, het_k, nd_k = pos[keep], het[keep][:, order], nd[keep]
+                if len(pos_k):
+                    seen_region = True
+                    win = np.minimum(
+                        (pos_k - start) // window_size, W - 1
+                    ).astype(np.int64)
+                    hot = het_k.T > 0  # (S, R)
+                    rows = np.broadcast_to(np.arange(S)[:, None], hot.shape)
+                    np.logical_or.at(
+                        H, (rows, np.broadcast_to(win[None], hot.shape)), hot
+                    )
+                    afs += np.bincount(nd_k, minlength=2 * S + 1)[: 2 * S + 1]
+                if past and early_stop:
+                    break  # sorted VCF: everything further is beyond the interval
+            return True
+
+        try:
+            if not scan(early_stop=True):
+                H[:] = False
+                afs[:] = 0
+                scan(early_stop=False)
+        except _FastPathUnavailable:  # pragma: no cover
+            return None
         return dict(het_matrix=H.astype(np.int8), afs=afs[1:-1])
 
     def get_data(self, window_size: int = 100) -> dict[str, np.ndarray]:

@@ -223,16 +223,27 @@ def _header_dicts(text: str):
     """
 
     def field(line: str, key: str) -> str | None:
-        at = line.find(key + "=")
-        if at < 0:
+        # quote-aware key=value split of the <...> structured body: a naive
+        # substring find would match 'ID=' / 'IDX=' inside a quoted
+        # Description string and silently mis-key the dictionaries
+        lo, hi = line.find("<"), line.rfind(">")
+        if lo < 0 or hi < lo:
             return None
-        val = line[at + len(key) + 1 :]
-        if val.startswith('"'):
-            return val[1 : val.index('"', 1)]
-        for stop in (",", ">"):
-            if stop in val:
-                val = val[: val.index(stop)]
-        return val
+        body, parts, buf, quoted = line[lo + 1 : hi], [], [], False
+        for ch in body:
+            if ch == '"':
+                quoted = not quoted
+            if ch == "," and not quoted:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        for part in parts:
+            k, _, v = part.partition("=")
+            if k.strip() == key:
+                return v[1:-1] if v.startswith('"') and v.endswith('"') else v
+        return None
 
     contigs: dict[int, str] = {}
     strings: dict[int, str] = {0: "PASS"}
@@ -386,6 +397,12 @@ class BcfFile:
         for _ in range(n_fmt):
             key, at = _read_typed_int(indiv, at)
             atom, ploidy, at = _read_typed_meta(indiv, at)
+            if ploidy == 0:  # legal zero-count field (atom may be 0/MISSING)
+                continue
+            if atom not in _TYPE_SIZE:
+                raise ValueError(
+                    f"{self.path}: FORMAT field with unknown atom type {atom}"
+                )
             width = _TYPE_SIZE[atom] * ploidy
             if key not in self._gt_keys:
                 at += width * n_sample

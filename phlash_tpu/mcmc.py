@@ -50,6 +50,13 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
         A list of posterior DemographicModel samples (one per particle),
         rescaled to per-base-pair rates (and to generations when
         mutation_rate is given).
+
+        When `test_data` is given, the returned particles are the ones with
+        the best held-out ELPD seen during the run — not the final iterate.
+        (The reference returns the final state even though it tracks the
+        best one, /root/reference/src/phlash/mcmc.py:293-314; returning the
+        tracked optimum is an intentional deviation.)  Pass
+        `return_final=True` for reference-parity behavior.
     """
     key = options.get("key", jax.random.PRNGKey(1))
     niter = options.get("niter", 1000)
@@ -123,7 +130,10 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
                 particles,
                 c=jnp.array([0.0, 1.0, 1.0]),
                 inds=jnp.arange(N_test),
-                warmup=jnp.full([N_test, 1], -1, dtype=jnp.int8),
+                # zero-width warmup: the model passes pi through untouched
+                # instead of launching a padded filter kernel over the
+                # held-out rows (they have no preceding context to filter)
+                warmup=jnp.zeros([N_test, 0], dtype=jnp.int8),
                 kern=test_kern,
                 afs=test_afs,
                 afs_transform=test_T,
@@ -236,10 +246,11 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
         if cb is not None:
             cb(dms())
     logger.info("fit finished: %s", meter.summary())
-    if best_elpd is not None:
+    if best_elpd is not None and not options.get("return_final", False):
         # return the best-held-out-ELPD particles, not the last iterate (the
         # reference returns the final state, /root/reference/src/phlash/
-        # mcmc.py:293-314 — SURVEY.md §5 flags that as a quirk to fix)
+        # mcmc.py:293-314 — SURVEY.md §5 flags that as a quirk to fix);
+        # see the fit() docstring and return_final=True for parity behavior
         logger.info("returning best-ELPD state from iteration %d", best_elpd[0])
         state = best_elpd[2]
     return tree_unstack(dms())

@@ -53,8 +53,13 @@ def log_density(
     dm = mcp.to_dm()
     pp = PSMCParams.from_dm(dm)
 
-    # per-chunk filtered initial distribution from the overlap prefix
-    pis = vmap(lambda d: phlash_tpu.hmm.psmc_ll(pp, d)[0])(warmup)  # (S, M)
+    # per-chunk filtered initial distribution from the overlap prefix; a
+    # zero-width warmup (e.g. held-out ELPD rows, which have no preceding
+    # context) passes pi through without running the filter at all
+    if warmup.shape[1] == 0:
+        pis = jnp.broadcast_to(pp.pi, (warmup.shape[0],) + pp.pi.shape)  # (S, M)
+    else:
+        pis = vmap(lambda d: phlash_tpu.hmm.psmc_ll(pp, d)[0])(warmup)  # (S, M)
     pps = vmap(lambda pi: pp._replace(pi=pi))(pis)
 
     l_prior = log_prior(mcp)
@@ -98,8 +103,13 @@ def log_density_batched(
     dms = jax.vmap(MCMCParams.to_dm)(mcps)
     pps = jax.vmap(PSMCParams.from_dm)(dms)  # leaves (B, M)
 
-    pis = kern.filter_batched(pps, warmup)  # (B, S, M), differentiable
     S = warmup.shape[0]
+    if warmup.shape[1] == 0:  # no prefix context: pi passthrough (no kernel)
+        pis = jnp.broadcast_to(
+            pps.pi[:, None], (pps.pi.shape[0], S, pps.pi.shape[1])
+        )
+    else:
+        pis = kern.filter_batched(pps, warmup)  # (B, S, M), differentiable
     bc = lambda a: jnp.broadcast_to(a[:, None], (a.shape[0], S) + a.shape[1:])  # noqa: E731
     pps_chunks = PSMCParams(*[bc(leaf) for leaf in pps])._replace(pi=pis)
 

@@ -97,8 +97,11 @@ def _expQ2(r, c, n):
         tiny, jnp.exp(-v) * (1.0 + u_ok**2 / 6.0), (ea - eb) / (2.0 * u_ok)
     )
     # u ± w: one of the pair cancels when |w| ≈ u (r << c·n or >>); recover
-    # it from the exact identity u² - w² = c·r through the stable one
-    big = jnp.maximum(u + jnp.abs(w), 1e-300)
+    # it from the exact identity u² - w² = c·r through the stable one.
+    # The degenerate u = w = 0 case (then c·r = 0 too) is guarded with a
+    # where, not a floor: a 1e-300 floor underflows to 0 in float32
+    big_raw = u + jnp.abs(w)
+    big = jnp.where(big_raw == 0.0, 1.0, big_raw)
     small = c * r / big
     s_plus = jnp.where(w <= 0, small, big)  # u + w
     s_minus = jnp.where(w <= 0, big, small)  # u - w

@@ -208,3 +208,117 @@ def test_bgzf_virtual_seek(tmp_path):
     assert r.read(len(payload)) == payload
     r.seek_virtual(mark)
     assert r.read(50) == payload[100_000:100_050]
+
+
+REF_FIXTURE = "/root/reference/tests/fixtures/sample.bcf"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_FIXTURE), reason="reference fixture absent")
+def test_htslib_fixture_golden_counts():
+    """Pin the reader to htslib-produced bytes.
+
+    The committed fixture is written by our own writer; this one was written
+    by htslib, so reader and writer cannot share a spec misreading.  Golden
+    counts from the reference suite (tests/test_data.py:41-52)."""
+    c = VcfContig(
+        REF_FIXTURE,
+        contig="1",
+        interval=(25_000_000, 26_000_000),
+        samples=["NA12878", "NA12889"],
+    )
+    d = c.get_data(100)
+    assert d["het_matrix"].max() == 1
+    assert d["het_matrix"].sum() == 234
+    np.testing.assert_array_equal(d["afs"], [143, 60, 89])
+
+
+@pytest.mark.skipif(not os.path.exists(REF_FIXTURE), reason="reference fixture absent")
+def test_htslib_csi_region_query(tmp_path):
+    "htslib's .csi drives the indexed seek; subregion == sequential subset."
+    import shutil
+
+    with BcfFile(REF_FIXTURE) as f:
+        assert f._index is not None  # htslib's own index loaded
+    full = list(iter_bcf(REF_FIXTURE, "1", 25_000_000, 26_000_000, ["NA12878"]))
+    lo, hi = full[len(full) // 3]["pos"], full[2 * len(full) // 3]["pos"]
+    want = [r for r in full if lo <= r["pos"] <= hi]
+    got = list(iter_bcf(REF_FIXTURE, "1", lo, hi, ["NA12878"]))
+    assert [r["pos"] for r in got] == [r["pos"] for r in want]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["het"], w["het"])
+
+
+def test_header_quoted_description_not_miskeyed():
+    "'ID=' or 'IDX=' inside a quoted Description must not corrupt parsing."
+    from phlash_tpu.io.bcf import _header_dicts
+
+    text = "\n".join(
+        [
+            "##fileformat=VCFv4.2",
+            '##FILTER=<ID=PASS,Description="All filters passed",IDX=0>',
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="has ID=trap, IDX=9 inside",IDX=1>',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype with, comma and IDX=7">',
+            "##contig=<ID=chr1,length=1000,IDX=0>",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+        ]
+    )
+    contigs, strings, samples = _header_dicts(text)
+    assert contigs == {0: "chr1"}
+    assert strings[0] == "PASS" and strings[1] == "DP"
+    # GT has no IDX= -> next free slot (2), not 7 from inside the quotes
+    assert strings[2] == "GT"
+    assert samples == ["s1"]
+
+
+def test_zero_count_format_field(tmp_path):
+    """A FORMAT field with count 0 (type byte 0x00) is legal; skip it.
+
+    htslib emits such descriptors for fields with no data in a record; the
+    reader previously crashed on atom type 0 (KeyError)."""
+    import shutil
+    import struct as _struct
+
+    from phlash_tpu.io.bcf import BgzfReader, _BgzfWriter, write_bcf
+
+    header = "\n".join(
+        [
+            "##fileformat=VCFv4.2",
+            '##FORMAT=<ID=ZZ,Number=.,Type=Integer,Description="empty">',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+            "##contig=<ID=c1,length=1000>",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+        ]
+    )
+    path = str(tmp_path / "z.bcf")
+    write_bcf(path, header, [("c1", 10, "A", ["T"], [(0, 1)])])
+    # splice a zero-count ZZ field in front of GT inside the indiv block:
+    # re-read the one record, rewrite with n_fmt=2 and a 0x00 type byte +
+    # ZZ's key prepended
+    r = BgzfReader(path)
+    r.seek_virtual(0)
+    magic_and_header = r.read(5 + 4)
+    (l_text,) = _struct.unpack("<I", magic_and_header[5:9])
+    htext = r.read(l_text)
+    head = r.read(8)
+    l_shared, l_indiv = _struct.unpack("<II", head)
+    shared = bytearray(r.read(l_shared))
+    indiv = r.read(l_indiv)
+    r.close()
+    # bump n_fmt 1 -> 2 (high byte of the word at offset 20)
+    n_allele_info = _struct.unpack_from("<I", shared, 20)[0]
+    _struct.pack_into("<I", shared, 20, (n_allele_info & 0x00FFFFFF) | (2 << 24))
+    # ZZ was declared first (dict index 1: PASS=0 implicit, ZZ=1, GT=2)
+    zz_key = bytes([0x11, 0x01])  # typed int8 scalar = 1
+    zz_field = zz_key + bytes([0x00])  # type byte: count 0, atom 0
+    new_indiv = zz_field + indiv
+    with open(path, "wb") as fh:
+        w = _BgzfWriter(fh)
+        w.write(magic_and_header[:5])
+        w.write(_struct.pack("<I", l_text))
+        w.write(htext)
+        w.write(_struct.pack("<II", len(shared), len(new_indiv)))
+        w.write(bytes(shared))
+        w.write(new_indiv)
+        w.finish()
+    out = list(iter_bcf(path, "c1", 1, 1000, ["s1"]))
+    assert len(out) == 1 and out[0]["het"][0] == 1

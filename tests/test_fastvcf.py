@@ -76,3 +76,47 @@ def test_fast_path_matches_python(tmp_path, rng):
         slow = c.get_data(100)
     np.testing.assert_array_equal(fast["het_matrix"], slow["het_matrix"])
     np.testing.assert_array_equal(fast["afs"], slow["afs"])
+
+
+@needs_c
+def test_unsorted_vcf_falls_back_to_full_scan(tmp_path, caplog):
+    """Out-of-order positions must not be dropped by the early-stop scan.
+
+    The streaming fast path assumes coordinate-sorted records so it can stop
+    once the region has been passed; on detecting disorder it must rescan the
+    whole file (with a warning) and still produce the complete answer.
+    """
+    import logging
+
+    from phlash_tpu.data import VcfContig
+
+    header = [
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=chr3,length=10000>",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+    ]
+    # a record *after* the interval appears first; a sorted-assuming scan
+    # would early-stop and drop everything that follows
+    rows = [
+        "chr3\t9000\t.\tA\tT\t.\tPASS\t.\tGT\t0/1",
+        "chr3\t100\t.\tA\tT\t.\tPASS\t.\tGT\t0/1",
+        "chr3\t200\t.\tA\tT\t.\tPASS\t.\tGT\t1/1",
+        "chr3\t300\t.\tA\tT\t.\tPASS\t.\tGT\t0/1",
+    ]
+    path = tmp_path / "unsorted.vcf"
+    path.write_text("\n".join(header + rows) + "\n")
+    c = VcfContig(str(path), samples=["s1"], contig="chr3", interval=(1, 500))
+    with caplog.at_level(logging.WARNING):
+        d = c.get_data(100)
+    assert "not coordinate-sorted" in caplog.text
+    # records at 100, 200, 300 -> windows 0, 1, 2; het at 100 and 300
+    np.testing.assert_array_equal(d["het_matrix"][0][:4], [1, 0, 1, 0])
+    np.testing.assert_array_equal(d["afs"], [2])
+
+    # the sorted equivalent produces the identical region answer
+    path2 = tmp_path / "sorted.vcf"
+    path2.write_text("\n".join(header + sorted(rows, key=lambda r: int(r.split("\t")[1]))) + "\n")
+    c2 = VcfContig(str(path2), samples=["s1"], contig="chr3", interval=(1, 500))
+    d2 = c2.get_data(100)
+    np.testing.assert_array_equal(d["het_matrix"], d2["het_matrix"])
+    np.testing.assert_array_equal(d["afs"], d2["afs"])

@@ -62,3 +62,28 @@ def test_log_density_grad_finite(mcp, data):
     g = jax.grad(lambda m: log_density(m, kern=kern, **_density_args(data)))(mcp)
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_zero_width_warmup_is_pi_passthrough(mcp, data):
+    """A (S, 0) warmup must skip the filter and use pi directly.
+
+    Equivalent to filtering over missing sites only (missing-site steps
+    preserve the stationary pi), but without launching a padded kernel —
+    the held-out ELPD path uses this."""
+    from phlash_tpu.model import log_density_batched
+
+    args = _density_args(data)
+    kern = DenseKernel(M=16, data=data[:, 100:], double_precision=True, seg_len=128)
+    mcps = jax.tree.map(lambda a: jnp.broadcast_to(a, (2,) + jnp.shape(a)), mcp)
+    S = 3
+    empty = jnp.zeros((S, 0), dtype=jnp.int8)
+    missing = jnp.full((S, 4), -1, dtype=jnp.int8)
+    del args["warmup"]
+    v_empty = log_density_batched(mcps, warmup=empty, kern=kern, **args)
+    v_missing = log_density_batched(mcps, warmup=missing, kern=kern, **args)
+    assert np.isfinite(np.asarray(v_empty)).all()
+    # pi is the stationary law of the SMC' transition, so filtering over
+    # missing-only sites leaves it unchanged up to float tolerance
+    np.testing.assert_allclose(
+        np.asarray(v_empty), np.asarray(v_missing), rtol=1e-4
+    )

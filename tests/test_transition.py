@@ -110,3 +110,16 @@ def test_assembly_f32_matches_f64():
         mask = A64 > 1e-12
         worst = max(worst, (np.abs(A32 - A64) / A64)[mask].max())
     assert worst < 3e-5, worst
+
+
+def test_expQ2_degenerate_f32_no_nan():
+    "c = r = 0 in pure float32 must give the identity, not 0/0 NaNs."
+    from phlash_tpu.transition import _expQ2
+
+    P2, p02, p12 = _expQ2(jnp.float32(0.0), jnp.float32(0.0), 2)
+    assert P2.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(P2), np.eye(2), atol=1e-7)
+    assert float(p02) == 0.0 and float(p12) == 0.0
+    # and gradients through the guard stay finite
+    g = jax.grad(lambda r: _expQ2(r, jnp.float32(0.5), 2)[1])(jnp.float32(0.0))
+    assert np.isfinite(float(g))
