@@ -189,3 +189,158 @@ def test_vcf_tabix_empty_region(tmp_path):
     write_tabixed_vcf(p, text)
     d = contig(p, samples=["sA"], region="c1:1000000-2000000").get_data(100)
     assert d["het_matrix"].sum() == 0 and d["afs"].sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# tskit path via a duck-typed fake tree sequence (tskit is absent here;
+# TreeSequenceContig only touches the five members the fake provides —
+# cf. reference tests/test_data.py:85-102 which uses a real msprime ts)
+# ---------------------------------------------------------------------------
+
+
+class _FakeVariant:
+    def __init__(self, position, genotypes):
+        self.position = position
+        self.genotypes = np.asarray(genotypes)
+
+
+class _FakeIndividual:
+    def __init__(self, nodes):
+        self.nodes = nodes
+
+
+class _FakeTS:
+    """Duck-typed stand-in for tskit.TreeSequence.
+
+    Stores per-site genotype vectors over haplotype ids 0..n-1 and
+    implements exactly the members TreeSequenceContig uses."""
+
+    def __init__(self, L, positions, genotypes):
+        self._L = L
+        self._pos = np.asarray(positions)
+        self._g = np.asarray(genotypes)  # (n_sites, n_haplotypes)
+        self.num_sites = len(self._pos)
+
+    def get_sequence_length(self):
+        return float(self._L)
+
+    def individuals(self):
+        return [
+            _FakeIndividual((2 * i, 2 * i + 1)) for i in range(self._g.shape[1] // 2)
+        ]
+
+    def variants(self, samples, copy=False):
+        cols = np.asarray(samples)
+        for p, row in zip(self._pos, self._g):
+            yield _FakeVariant(p, row[cols])
+
+    def allele_frequency_spectrum(
+        self, sample_sets, windows, polarised, span_normalise
+    ):
+        assert polarised and not span_normalise
+        (sset,) = sample_sets
+        counts = self._g[:, np.asarray(sset)].sum(1)
+        n = len(sset)
+        out = np.zeros((len(windows) - 1, n + 1))
+        w = np.searchsorted(np.asarray(windows), self._pos, side="right") - 1
+        for wi, k in zip(w, counts):
+            out[wi, k] += 1
+        return out
+
+
+@pytest.fixture
+def fake_ts(rng):
+    L = 1000
+    n_hap = 6
+    positions = np.sort(rng.choice(np.arange(1, L), size=60, replace=False))
+    genotypes = rng.integers(0, 2, size=(60, n_hap))
+    return _FakeTS(L, positions, genotypes)
+
+
+def test_ts_contig_basic(fake_ts):
+    from phlash_tpu.data import TreeSequenceContig
+
+    c = TreeSequenceContig(fake_ts)
+    assert c.N == 6 and c.L == 1000
+    d = c.get_data(window_size=100)
+    assert d["het_matrix"].shape == (3, 10)
+    # direct recomputation: window w counts sites where the pair differs
+    want = np.zeros((3, 10), dtype=int)
+    for p, row in zip(fake_ts._pos, fake_ts._g):
+        for i in range(3):
+            want[i, int(p) // 100] += row[2 * i] != row[2 * i + 1]
+    np.testing.assert_array_equal(d["het_matrix"], want)
+    # afs: polarized counts, monomorphic classes dropped
+    k = fake_ts._g.sum(1)
+    want_afs = np.bincount(k, minlength=7)[1:-1]
+    np.testing.assert_array_equal(d["afs"], want_afs)
+
+
+def test_ts_contig_node_subset(fake_ts):
+    from phlash_tpu.data import TreeSequenceContig
+
+    c = TreeSequenceContig(fake_ts, nodes=[(0, 3), (4, 5)])
+    assert c.N == 4
+    d = c.get_data(window_size=100)
+    assert d["het_matrix"].shape == (2, 10)
+    want = np.zeros((2, 10), dtype=int)
+    for p, row in zip(fake_ts._pos, fake_ts._g):
+        want[0, int(p) // 100] += row[0] != row[3]
+        want[1, int(p) // 100] += row[4] != row[5]
+    np.testing.assert_array_equal(d["het_matrix"], want)
+
+
+def test_ts_contig_mask(fake_ts):
+    from phlash_tpu.data import TreeSequenceContig
+
+    mask = [(200, 400), (850, 900)]
+    cm = TreeSequenceContig(fake_ts, mask=mask)
+    d = cm.get_data(window_size=100)
+    # masked windows are -1: [200,400) covers windows 2-3; (850,900) window 8
+    np.testing.assert_array_equal(
+        np.flatnonzero((d["het_matrix"] == -1).all(0)), [2, 3, 8]
+    )
+    assert (d["het_matrix"][:, [0, 1, 4, 5, 6, 7, 9]] >= 0).all()
+    # the AFS must exclude masked intervals entirely
+    keep = ~(
+        ((fake_ts._pos >= 200) & (fake_ts._pos < 400))
+        | ((fake_ts._pos >= 850) & (fake_ts._pos < 900))
+    )
+    k = fake_ts._g[keep].sum(1)
+    want_afs = np.bincount(k, minlength=7)[1:-1]
+    np.testing.assert_array_equal(d["afs"], want_afs)
+
+
+def test_ts_contig_bad_nodes(fake_ts):
+    from phlash_tpu.data import TreeSequenceContig
+
+    with pytest.raises(ValueError, match="nodes"):
+        TreeSequenceContig(fake_ts, nodes=[(0, 1, 2)])
+    with pytest.raises(ValueError, match="nodes"):
+        TreeSequenceContig(fake_ts, nodes="0,1")
+
+
+def test_mask_breakpoints():
+    from phlash_tpu.data import _mask_breakpoints
+
+    bp, keep = _mask_breakpoints([(10, 20), (30, 40)], 100)
+    np.testing.assert_array_equal(bp, [0, 10, 20, 30, 40, 100])
+    np.testing.assert_array_equal(keep, [True, False, True, False, True])
+    # empty mask: a single kept interval
+    bp0, keep0 = _mask_breakpoints([], 50)
+    np.testing.assert_array_equal(bp0, [0, 50])
+    np.testing.assert_array_equal(keep0, [True])
+    # overlapping intervals merge through midpoint coverage
+    bp2, keep2 = _mask_breakpoints([(10, 30), (20, 40)], 100)
+    assert not keep2[1:-1].any()
+
+
+def test_mask_to_bool():
+    from phlash_tpu.data import _mask_to_bool
+
+    got = _mask_to_bool([(150, 250)], 1000, 100)
+    np.testing.assert_array_equal(np.flatnonzero(got), [1, 2])
+    assert not _mask_to_bool(None, 1000, 100).any()
+    # mask beyond L clips
+    got2 = _mask_to_bool([(950, 2000)], 1000, 100)
+    np.testing.assert_array_equal(np.flatnonzero(got2), [9])
