@@ -105,6 +105,129 @@ def simulate_dataset(
     return contigs, test
 
 
+# -- exact continuous-time SMC' simulator ------------------------------------
+
+
+def _inv_hazard(t_grid: np.ndarray, c: np.ndarray, t0: float, E: float) -> float:
+    """Solve int_{t0}^{h} c(s) ds = E for h, c piecewise constant on t_grid.
+
+    t_grid: (K,) epoch starts (t_grid[0] == 0), last epoch open.  Exact
+    inversion of the piecewise-linear cumulative hazard; used for every
+    waiting-time draw in the continuous simulator.
+    """
+    k = int(np.searchsorted(t_grid, t0, side="right") - 1)
+    h = t0
+    while True:
+        end = t_grid[k + 1] if k + 1 < len(t_grid) else np.inf
+        cap = (end - h) * c[k]
+        if E <= cap or not np.isfinite(end):
+            return h + E / c[k]
+        E -= cap
+        h = end
+        k += 1
+
+
+def simulate_smc_continuous(
+    dm: DemographicModel,
+    L: int,
+    seed: int = 0,
+    window_size: int = 100,
+) -> RawContig:
+    """Simulate a diploid het sequence from the *continuous* SMC' process.
+
+    Unlike `simulate_hmm` — which draws from the discretized HMM implied by
+    `transition_matrix`, i.e. from the very object the likelihood assumes —
+    this samples the exact pair-coalescent SMC' process along the genome:
+
+    * the TMRCA path is piecewise constant between recombination events,
+      which arrive at genome-distance rate 2*rho*s (rho per window, both
+      branches of height s);
+    * each recombination detaches a lineage at height Uniform(0, s); it
+      re-coalesces against hazard 2*c(h) below s (half of those rejoin the
+      original branch, leaving the TMRCA unchanged — the SMC' "invisible"
+      events) and c(h) above s;
+    * heterozygous sites are a Poisson process at rate theta*s per window,
+      binned to windows (>= 1 mutation -> het, matching the binomial
+      emission model).
+
+    No transition matrix, no time discretization, no JAX: just exponential
+    draws against the piecewise-constant coalescent hazard.  This is the
+    independent generative process the reference gets from msprime/scrm
+    (/root/reference/src/phlash/sim.py:105-124); a shared bug between
+    `transition_matrix` and the likelihood cannot cancel here.
+
+    Args:
+        dm: demographic model in window-scaled units (theta/rho per window).
+        L: number of windows to emit.
+        seed: numpy seed.
+        window_size: recorded on the contig (bp per window).
+    """
+    rng = np.random.default_rng(seed)
+    starts, tmrca = _segments_smc_continuous(dm, L, rng)
+    lengths = np.diff(starts)
+
+    # Poisson mutations at rate theta * s per window of genome distance
+    n_mut = rng.poisson(float(dm.theta) * tmrca * lengths)
+    total = int(n_mut.sum())
+    obs = np.zeros(L, dtype=np.int8)
+    if total:
+        seg_of = np.repeat(np.arange(len(lengths)), n_mut)
+        pos = starts[seg_of] + rng.random(total) * lengths[seg_of]
+        obs[np.minimum(pos.astype(np.int64), L - 1)] = 1
+    return RawContig(het_matrix=obs[None], afs=np.ones(1), window_size=window_size)
+
+
+def _segments_smc_continuous(dm, L, rng) -> tuple[np.ndarray, np.ndarray]:
+    """The TMRCA path of the continuous SMC' process over [0, L] windows.
+
+    Returns (starts, tmrca): len(starts) == len(tmrca) + 1, the path is
+    tmrca[i] on [starts[i], starts[i+1]).  rng: np.random.Generator.
+    """
+    if isinstance(rng, int):
+        rng = np.random.default_rng(rng)
+    t_grid = np.asarray(dm.eta.t, dtype=np.float64)
+    c = np.asarray(dm.eta.c, dtype=np.float64)
+    rho = float(dm.rho if dm.rho is not None else dm.theta)
+
+    s = _inv_hazard(t_grid, c, 0.0, rng.standard_exponential())  # TMRCA ~ pi
+    x = 0.0
+    seg_starts, seg_tmrca = [0.0], [s]
+    while True:
+        # recombination events arrive at genome-distance rate 2*rho*s
+        x += rng.standard_exponential() / (2.0 * rho * s)
+        if x >= L:
+            break
+        # detach a lineage at height Uniform(0, s); float it upward against
+        # hazard 2c below s (two available partners), capping the draw at s
+        u = rng.uniform(0.0, s)
+        k = int(np.searchsorted(t_grid, u, side="right") - 1)
+        h, E = u, rng.standard_exponential()
+        while h < s:
+            end = min(t_grid[k + 1] if k + 1 < len(t_grid) else np.inf, s)
+            cap = (end - h) * 2.0 * c[k]
+            if E <= cap:
+                h = h + E / (2.0 * c[k])
+                break
+            E -= cap
+            h = end
+            if h < s:
+                k += 1
+        if h < s:
+            # coalesced below s: half the events rejoin the original branch
+            # (invisible: TMRCA unchanged), half hit the other branch
+            if rng.random() < 0.5:
+                s = h
+            else:
+                continue
+        else:
+            # floating above s: single partner left, hazard c(h)
+            s = _inv_hazard(t_grid, c, s, rng.standard_exponential())
+        seg_starts.append(x)
+        seg_tmrca.append(s)
+    seg_starts.append(float(L))
+    return np.asarray(seg_starts), np.asarray(seg_tmrca)
+
+
 # -- demography presets used in tests/benchmarks ----------------------------
 
 

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from phlash_tpu.hmm import psmc_ll_dm
+from phlash_tpu.params import PSMCParams
 from phlash_tpu.sim import (
     bottleneck_demography,
     constant_demography,
@@ -119,3 +120,68 @@ def test_scrm_threshold_constant():
     from phlash_tpu.sim import SCRM_RHO_THRESHOLD
 
     assert SCRM_RHO_THRESHOLD == 1e5
+
+
+# -- continuous-time SMC' simulator (the non-circular validation source) -----
+
+
+def test_continuous_simulator_marginal_matches_pi():
+    """Time-averaged TMRCA occupancy must match the stationary law pi.
+
+    pi comes from SizeHistory.p_coal (survival-function differences); the
+    simulator never touches that code path — it inverts the cumulative
+    hazard directly — so agreement is a two-implementation cross-check."""
+    from phlash_tpu.sim import _segments_smc_continuous
+
+    dm = constant_demography(theta=1e-2)
+    starts, tmrca = _segments_smc_continuous(dm, 400_000, np.random.default_rng(1))
+    lengths = np.diff(starts)
+    t = np.asarray(dm.eta.t)
+    emp = np.zeros(len(t))
+    np.add.at(emp, np.searchsorted(t, tmrca, side="right") - 1, lengths)
+    emp /= emp.sum()
+    pi = np.asarray(PSMCParams.from_dm(dm).pi)
+    assert 0.5 * np.abs(emp - pi).sum() < 0.06
+
+
+def test_continuous_simulator_transitions_match_matrix():
+    """Window-binned transition frequencies must match transition_matrix.
+
+    THE anti-circularity check: the discretized SMC' transition matrix
+    (associative-scan matrix exponentials) against empirical transition
+    counts from the exact continuous process, which shares no code with it
+    beyond the (t, c) arrays."""
+    from phlash_tpu.sim import _segments_smc_continuous
+    from phlash_tpu.transition import transition_matrix
+
+    dm = constant_demography(theta=1e-2)
+    L = 400_000
+    starts, tmrca = _segments_smc_continuous(dm, L, np.random.default_rng(1))
+    t = np.asarray(dm.eta.t)
+    sw = tmrca[np.searchsorted(starts, np.arange(L) + 0.5, side="right") - 1]
+    si = np.searchsorted(t, sw, side="right") - 1
+    M = len(t)
+    C = np.zeros((M, M))
+    np.add.at(C, (si[:-1], si[1:]), 1.0)
+    A = np.asarray(transition_matrix(dm))
+    checked = 0
+    for i in range(M):
+        n = C[i].sum()
+        if n > 2000:
+            assert 0.5 * np.abs(C[i] / n - A[i]).sum() < 0.02, f"row {i}"
+            checked += 1
+    assert checked >= 5  # the well-visited core of the state space
+
+
+def test_continuous_simulator_het_rate_and_determinism():
+    from phlash_tpu.sim import simulate_smc_continuous
+
+    dm = constant_demography(theta=1e-2)
+    c1 = simulate_smc_continuous(dm, 100_000, seed=3)
+    c2 = simulate_smc_continuous(dm, 100_000, seed=3)
+    np.testing.assert_array_equal(c1.het_matrix, c2.het_matrix)
+    assert c1.het_matrix.shape == (1, 100_000)
+    # E[het] = theta * E[TMRCA] = 1e-2 for the constant model
+    assert abs(c1.het_matrix.mean() - 1e-2) < 2e-3
+    c3 = simulate_smc_continuous(dm, 100_000, seed=4)
+    assert (c1.het_matrix != c3.het_matrix).any()

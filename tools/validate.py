@@ -27,15 +27,24 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def run(name: str, truth, L: int, niter: int, n_contigs: int = 3) -> dict:
+def run(
+    name: str, truth, L: int, niter: int, n_contigs: int = 3, simulator: str = "continuous"
+) -> dict:
     import jax
 
     import phlash_tpu
-    from phlash_tpu.sim import simulate_hmm
+    from phlash_tpu.sim import simulate_hmm, simulate_smc_continuous
     from phlash_tpu.utils import tree_stack
 
-    contigs = [simulate_hmm(truth, L=L, key=i) for i in range(n_contigs)]
-    test = simulate_hmm(truth, L=L, key=99)
+    if simulator == "continuous":
+        # exact continuous-time SMC' draws: independent of the discretized
+        # transition-matrix code the likelihood uses (non-circular — the
+        # reference gets this independence from msprime/scrm)
+        contigs = [simulate_smc_continuous(truth, L=L, seed=i) for i in range(n_contigs)]
+        test = simulate_smc_continuous(truth, L=L, seed=99)
+    else:
+        contigs = [simulate_hmm(truth, L=L, key=i) for i in range(n_contigs)]
+        test = simulate_hmm(truth, L=L, key=99)
     t0 = time.time()
     post = phlash_tpu.fit(
         contigs,
@@ -98,6 +107,13 @@ def run(name: str, truth, L: int, niter: int, n_contigs: int = 3) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sizes for smoke testing")
+    ap.add_argument(
+        "--simulator",
+        choices=["continuous", "hmm"],
+        default="continuous",
+        help="continuous = exact SMC' process (non-circular, default); "
+        "hmm = the discretized HMM the likelihood assumes",
+    )
     args = ap.parse_args()
 
     from phlash_tpu.sim import (
@@ -109,9 +125,9 @@ def main():
     L = 100_000 if args.quick else 500_000
     niter = 100 if args.quick else 300
     results = [
-        run("constant", constant_demography(theta=1e-2), L, niter),
-        run("bottleneck", bottleneck_demography(theta=1e-2), L, niter),
-        run("zigzag", zigzag_demography(theta=1e-2), L, niter),
+        run("constant", constant_demography(theta=1e-2), L, niter, simulator=args.simulator),
+        run("bottleneck", bottleneck_demography(theta=1e-2), L, niter, simulator=args.simulator),
+        run("zigzag", zigzag_demography(theta=1e-2), L, niter, simulator=args.simulator),
     ]
     worst_tv = max(r["tv"] for r in results)
     print(f"SUMMARY worst tv={worst_tv:.3f}")
