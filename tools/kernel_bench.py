@@ -68,21 +68,21 @@ def main():
     sites = B * S * L
 
     kern = SMCKernel(M_=16, data=data, seg_len=seg_env)
-    params, pi, pb, _ = kern._pack_all(pps, S)
+    params, pi, shifts, _ = kern._pack_instances(pps, S)
     obs = pallas_smc.pack_obs(kern.data[inds], kern.seg_len)
     seg = kern.seg_len
-    print(f"n_t={params[0].shape[0]} pb={pb} n_seg={obs.shape[0]} seg_len={seg}")
+    print(f"n_t={params[0].shape[0]} n_seg={obs.shape[0]} seg_len={seg}")
 
-    fwd = jax.jit(lambda p, q, o: pallas_smc.forward_structured(p, q, o, pb, seg))
-    t_f, (ll, alpha, pstates) = timeit(fwd, params, pi, obs)
+    fwd = jax.jit(lambda p, q, sh, o: pallas_smc.forward_structured(p, q, sh, o, seg))
+    t_f, (ll, alpha, pstates) = timeit(fwd, params, pi, shifts, obs)
     print(f"forward (w/ residuals):     {t_f*1e3:7.2f} ms  {sites/t_f/1e9:6.2f} Gsites/s")
 
     gbar = jnp.ones_like(alpha)
     abar0 = jnp.zeros_like(alpha)
     bwd = jax.jit(
-        lambda p, o, c, g, a: pallas_smc.backward_structured(p, o, c, g, a, pb, seg)
+        lambda p, sh, o, c, g, a: pallas_smc.backward_structured(p, sh, o, c, g, a, seg)
     )
-    t_b, _ = timeit(bwd, params, obs, pstates, gbar, abar0)
+    t_b, _ = timeit(bwd, params, shifts, obs, pstates, gbar, abar0)
     print(f"backward (rebuild+sweep):  {t_b*1e3:7.2f} ms  {sites/t_b/1e9:6.2f} Gsites/s")
 
     loss = jax.jit(lambda p: kern.loglik_batched(p, inds).sum())
