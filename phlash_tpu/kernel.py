@@ -19,7 +19,7 @@ logger = logging.getLogger(__name__)
 
 
 def get_kernel(M: int, data, double_precision: bool = False, backend: str = None,
-               mesh=None):
+               mesh=None, seg_len: int = None):
     """Return a likelihood kernel for the int8 chunk tensor `data`.
 
     Args:
@@ -30,8 +30,13 @@ def get_kernel(M: int, data, double_precision: bool = False, backend: str = None
             "pallas" (TPU fused kernel); default picks per platform.
         mesh: optional jax.sharding.Mesh — the chunk tensor is sharded over
             the mesh's chunk axis and (for the Pallas backend) the kernel
-            runs under shard_map with particles split across all devices.
+            runs under shard_map with the packed lane tiles split over all
+            devices.
+        seg_len: override the Pallas/dense segment length (sites per grid
+            step); None keeps each backend's tuned default.  Small values
+            are used by interpret-mode dry runs.
     """
+    seg_kw = {"seg_len": seg_len} if seg_len else {}
     if backend is None:
         platform = jax.default_backend()
         backend = "pallas" if platform == "tpu" else "dense"
@@ -40,7 +45,8 @@ def get_kernel(M: int, data, double_precision: bool = False, backend: str = None
             from phlash_tpu.ops.kernel_smc import SMCKernel
 
             return SMCKernel(
-                M_=M, data=data, double_precision=double_precision, mesh=mesh
+                M_=M, data=data, double_precision=double_precision, mesh=mesh,
+                **seg_kw,
             )
         except Exception as e:  # pragma: no cover - platform dependent
             logger.warning("Pallas kernel unavailable (%s); using dense XLA kernel", e)
@@ -52,7 +58,7 @@ def get_kernel(M: int, data, double_precision: bool = False, backend: str = None
     elif backend == "dense":
         from phlash_tpu.ops.kernel_dense import DenseKernel
 
-        kern = DenseKernel(M=M, data=data, double_precision=double_precision)
+        kern = DenseKernel(M=M, data=data, double_precision=double_precision, **seg_kw)
     elif backend == "scan":
         from phlash_tpu.hmm import PureXLAKernel
 

@@ -160,6 +160,7 @@ def build_training(
         double_precision=options.get("double_precision", False),
         backend=options.get("kernel_backend"),
         mesh=mesh,
+        seg_len=options.get("kernel_seg_len"),
     )
 
     # unbiased minibatch gradients: HMM term scaled by N / S
