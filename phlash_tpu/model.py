@@ -29,7 +29,9 @@ from phlash_tpu.params import MCMCParams, PSMCParams
 
 
 def log_prior(mcp: MCMCParams) -> jax.Array:
-    lp = jax.scipy.stats.norm.logpdf(jnp.log(mcp.rho_over_theta)).sum()
+    from phlash_tpu.utils.accurate import log as alog
+
+    lp = jax.scipy.stats.norm.logpdf(alog(mcp.rho_over_theta)).sum()
     lp -= mcp.alpha * jnp.sum(jnp.diff(mcp.log_c) ** 2)
     flat, _ = jax.flatten_util.ravel_pytree(mcp)
     lp -= mcp.beta * flat @ flat
@@ -74,7 +76,8 @@ def log_density(
         assert T.ndim == 2 and T.shape[1] == n - 1
         etbl = dm.eta.etbl(n)
         esfs = (etbl / etbl.sum()).astype(jnp.float32)
-        l_afs = xlogy(T @ afs.astype(jnp.float32), T @ esfs).sum()
+        mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)  # noqa: E731
+        l_afs = xlogy(mm(T, afs.astype(jnp.float32)), mm(T, esfs)).sum()
     else:
         l_afs = 0.0
 
@@ -125,7 +128,8 @@ def log_density_batched(
         def one_afs(dm):
             etbl = dm.eta.etbl(n)
             esfs = (etbl / etbl.sum()).astype(jnp.float32)
-            return xlogy(T @ afs32, T @ esfs).sum()
+            mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)  # noqa: E731
+            return xlogy(mm(T, afs32), mm(T, esfs)).sum()
 
         l_afs = jax.vmap(one_afs)(dms)
     else:

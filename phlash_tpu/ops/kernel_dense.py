@@ -57,7 +57,9 @@ def forward_ll_dense(pp: PSMCParams, data: jax.Array, seg_len: int = 512):
         def site(c, ob):
             a, l = c
             live = ob >= -1
-            a2 = (a @ A) * emis[jnp.clip(ob, -1, 1)]
+            a2 = jnp.matmul(a, A, precision=jax.lax.Precision.HIGHEST) * emis[
+                jnp.clip(ob, -1, 1)
+            ]
             norm = jnp.maximum(a2.sum(), 1e-35)
             a = jnp.where(live, a2 / norm, a)
             l = l + jnp.where(live, jnp.log(norm), 0.0)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import phlash_tpu.size_history as size_history
 import phlash_tpu.transition as transition
 from phlash_tpu.utils import Pattern, softplus_inv
+from phlash_tpu.utils import accurate as am
 
 
 class PSMCParams(NamedTuple):
@@ -56,8 +57,8 @@ class PSMCParams(NamedTuple):
         """
         ect = dm.eta.ect()
         lam = dm.theta * ect
-        emis0 = jnp.exp(-lam)
-        emis1 = -jnp.expm1(-lam)
+        emis0 = am.exp(-lam)
+        emis1 = -am.expm1(-lam)
         pi = dm.eta.pi
         A = transition.transition_matrix(dm)
         emis0, emis1, pi, A = jax.tree.map(
@@ -126,21 +127,21 @@ class MCMCParams:
     @property
     def t(self):
         "Grid endpoints (t1, tM); parameterized so tM > t1 > 0 always."
-        t1, dtM = jnp.exp(self.t_tr)
+        t1, dtM = am.exp(self.t_tr)
         return t1, t1 + dtM
 
     @property
     def c(self):
-        return jax.nn.softplus(self.c_tr)
+        return am.softplus(self.c_tr)
 
     @property
     def log_c(self):
-        return jnp.log(self.c)
+        return am.log(self.c)
 
     @property
     def rho_over_theta(self):
         "Squashed to [0.1, 10] (reference: params.py:111-113)."
-        return 0.1 + 9.9 * jax.scipy.special.expit(self.rho_over_theta_tr)
+        return 0.1 + 9.9 * am.expit(self.rho_over_theta_tr)
 
     @property
     def rho(self):
@@ -154,6 +155,6 @@ class MCMCParams:
         "Expand to a demographic model on a geometric time grid."
         pat = Pattern(self.pattern)
         t1, tM = self.t
-        t = jnp.insert(jnp.geomspace(t1, tM, pat.M - 1), 0, 0.0)
+        t = jnp.insert(am.geomspace(t1, tM, pat.M - 1), 0, 0.0)
         eta = size_history.SizeHistory(t=t, c=pat.expand(self.c))
         return size_history.DemographicModel(eta=eta, theta=self.theta, rho=self.rho)

@@ -18,6 +18,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import vmap
 
+from phlash_tpu.utils.accurate import exp as aexp, expm1 as aexpm1
+
 
 class PPoly(NamedTuple):
     x: jnp.ndarray  # breakpoints, shape (K+1,); last entry may be +inf
@@ -62,8 +64,8 @@ class PPoly(NamedTuple):
         # integral over each finite epoch + the final (half-open) epoch
         per_epoch = jnp.concatenate(
             [
-                jnp.exp(-haz[:-1] + const) * -jnp.expm1(-rate[:-1] * dt) / rate[:-1],
-                jnp.exp(-haz[-1:] + const) / rate[-1:],
+                aexp(-haz[:-1] + const) * -aexpm1(-rate[:-1] * dt) / rate[:-1],
+                aexp(-haz[-1:] + const) / rate[-1:],
             ]
         )
         # keep the finite-t branch NaN-free even when t = inf (both where
@@ -73,8 +75,8 @@ class PPoly(NamedTuple):
         j = jnp.clip(jnp.searchsorted(self.x, t_safe, side="right") - 1, 0, len(rate) - 1)
         # partial epoch [x[j], t)
         tail = (
-            jnp.exp(-haz[j] + const)
-            * -jnp.expm1(-rate[j] * (t_safe - self.x[j]))
+            aexp(-haz[j] + const)
+            * -aexpm1(-rate[j] * (t_safe - self.x[j]))
             / rate[j]
         )
         full = (per_epoch * (jnp.arange(per_epoch.shape[0]) < j)).sum()

@@ -18,12 +18,14 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import vmap
 
 from phlash_tpu.ppoly import PPoly
 from phlash_tpu.utils import Pattern, texp_mean
+from phlash_tpu.utils.accurate import exp as aexp, expm1 as aexpm1, log as alog
 
 
 class SizeHistory(NamedTuple):
@@ -87,7 +89,7 @@ class SizeHistory(NamedTuple):
     def surv(self):
         "Survival function of the coalescence density at each breakpoint."
         hazard = jnp.cumsum(self.c[:-1] * jnp.diff(self.t))
-        return jnp.append(jnp.exp(-hazard), 0.0)
+        return jnp.append(aexp(-hazard), 0.0)
 
     def p_coal(self):
         "P(coalescence occurs within epoch k) for each epoch k."
@@ -102,17 +104,17 @@ class SizeHistory(NamedTuple):
     def density(self, c: float = 1.0) -> Callable:
         "Coalescence-time density (optionally with rate multiplier c)."
         R = self.R
-        return lambda x: c * self(x) * jnp.exp(-c * R(x))
+        return lambda x: c * self(x) * aexp(-c * R(x))
 
     @property
     def sf(self) -> Callable:
         R = self.R
-        return lambda x: jnp.exp(-R(x))
+        return lambda x: aexp(-R(x))
 
     @property
     def cdf(self) -> Callable:
         R = self.R
-        return lambda x: -jnp.expm1(-R(x))
+        return lambda x: -aexpm1(-R(x))
 
     # -- moments ------------------------------------------------------------
     def ect(self):
@@ -160,7 +162,11 @@ class SizeHistory(NamedTuple):
         # W in the working dtype: a f64 matmul here would silently promote
         # an otherwise-f32 model (and large f64 matmuls break the v5e
         # compiler); W's entries are exact in f64 and fine rounded to f32
-        return jnp.asarray(_W_matrix(n), dtype=etjj.dtype) @ etjj
+        # HIGHEST: TPU f32 matmul defaults to bf16 passes (see transition.py)
+        return jnp.matmul(
+            jnp.asarray(_W_matrix(n), dtype=etjj.dtype), etjj,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     # -- quantiles / metrics --------------------------------------------------
     def quantile(self, q: float) -> float:
@@ -267,12 +273,12 @@ def _tv_piece(ab1, ab2, T):
 
     def F(a, b, U):
         "int_0^U a e^{-(a t + b)} dt; valid at U = +inf for a > 0."
-        return jnp.exp(-b) * jnp.where(jnp.isinf(U), 1.0, -jnp.expm1(-a * U))
+        return aexp(-b) * jnp.where(jnp.isinf(U), 1.0, -aexpm1(-a * U))
 
     same = jnp.isclose(a1, a2)
     denom = jnp.where(same, 1.0, a1 - a2)
     # the two densities cross at most once on the piece
-    t_x = jnp.clip((jnp.log(a1 / a2) + b2 - b1) / denom, 0.0, T)
+    t_x = jnp.clip((alog(a1 / a2) + b2 - b1) / denom, 0.0, T)
     t_x = jnp.where(same, 0.0, t_x)
     f1, f2 = F(a1, b1, t_x), F(a2, b2, t_x)
     return jnp.abs(f1 - f2) + jnp.abs((F(a1, b1, T) - f1) - (F(a2, b2, T) - f2))

@@ -17,11 +17,14 @@ kernels (see phlash_tpu.params.PSMCParams):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from phlash_tpu.size_history import DemographicModel
 from phlash_tpu.utils import texp_mean
+from phlash_tpu.utils.accurate import exp as aexp, expm1 as aexpm1, log as alog
 
 
 def expQ(r, c, n):
@@ -42,13 +45,13 @@ def expQ(r, c, n):
     v = (r + c * n) / 2.0
     w = (r - c * n) / 2.0
     # e^{-v} cosh(u) and e^{-v} sinh(u)/u, overflow-safe via exp(u-v)
-    ch = (jnp.exp(u - v) + jnp.exp(-(u + v))) / 2.0
+    ch = (aexp(u - v) + aexp(-(u + v))) / 2.0
     tiny = u < 1e-6
     u_ok = jnp.where(tiny, 1.0, u)
     sh_over_u = jnp.where(
         tiny,
-        jnp.exp(-v) * (1.0 + u_ok**2 / 6.0),
-        (jnp.exp(u - v) - jnp.exp(-(u + v))) / (2.0 * u_ok),
+        aexp(-v) * (1.0 + u_ok**2 / 6.0),
+        (aexp(u - v) - aexp(-(u + v))) / (2.0 * u_ok),
     )
     p00 = ch - w * sh_over_u
     p01 = r * sh_over_u
@@ -87,14 +90,14 @@ def _expQ2(r, c, n):
     upv = u + v
     a = -ab / jnp.where(upv == 0.0, 1.0, upv)
     b = -upv
-    ea, eb = jnp.expm1(a), jnp.expm1(b)
+    ea, eb = aexpm1(a), aexpm1(b)
 
     tiny = u < 1e-6
     u_ok = jnp.where(tiny, 1.0, u)
-    exp_a, exp_b = jnp.exp(a), jnp.exp(b)  # both <= 1: a, b <= 0
+    exp_a, exp_b = aexp(a), aexp(b)  # both <= 1: a, b <= 0
     # (e^a - e^b) as expm1(a) - expm1(b): exact where both exps are near 1
     shu = jnp.where(
-        tiny, jnp.exp(-v) * (1.0 + u_ok**2 / 6.0), (ea - eb) / (2.0 * u_ok)
+        tiny, aexp(-v) * (1.0 + u_ok**2 / 6.0), (ea - eb) / (2.0 * u_ok)
     )
     # u ± w: one of the pair cancels when |w| ≈ u (r << c·n or >>); recover
     # it from the exact identity u² - w² = c·r through the stable one.
@@ -106,10 +109,10 @@ def _expQ2(r, c, n):
     s_plus = jnp.where(w <= 0, small, big)  # u + w
     s_minus = jnp.where(w <= 0, big, small)  # u - w
     p00 = jnp.where(
-        tiny, jnp.exp(-v) * (1.0 - w), (exp_a * s_minus + exp_b * s_plus) / (2.0 * u_ok)
+        tiny, aexp(-v) * (1.0 - w), (exp_a * s_minus + exp_b * s_plus) / (2.0 * u_ok)
     )
     p11 = jnp.where(
-        tiny, jnp.exp(-v) * (1.0 + w), (exp_a * s_plus + exp_b * s_minus) / (2.0 * u_ok)
+        tiny, aexp(-v) * (1.0 + w), (exp_a * s_plus + exp_b * s_minus) / (2.0 * u_ok)
     )
     P2 = jnp.array([[p00, r * shu], [c * shu, p11]])
 
@@ -126,7 +129,7 @@ def _expQ2(r, c, n):
     # row 1 absorption
     kappa = c + w
     generic1 = -((u_ok + kappa) * ea + (u_ok - kappa) * eb) / (2.0 * u_ok)
-    limit1 = -(jnp.expm1(-v) + kappa * jnp.exp(-v))  # u -> 0
+    limit1 = -(aexpm1(-v) + kappa * aexp(-v))  # u -> 0
     p12 = jnp.where(tiny, limit1, generic1)
     return P2, p02, p12
 
@@ -167,8 +170,13 @@ def transition_matrix(dm: DemographicModel, n: int = 2) -> jax.Array:
     P2 = jnp.where(degenerate[:, None, None], eye2[None], P2)
     p02 = jnp.where(degenerate, 0.0, p02)
     p12 = jnp.where(degenerate, 0.0, p12)
+    # precision pin: XLA:TPU lowers f32 matmul to bf16 MXU passes by
+    # default (~4e-3 relative per product) — catastrophic for the scan's
+    # VJP, whose cross-interval cancellations amplify it to O(1) gradient
+    # error (tools/f32_xplat.py).  HIGHEST keeps true f32 accumulation.
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     cum2 = jax.lax.associative_scan(
-        jnp.matmul, jnp.concatenate([eye2[None], P2], axis=0)
+        mm, jnp.concatenate([eye2[None], P2], axis=0)
     )
     a0, a1 = cum2[:, 0, 0], cum2[:, 0, 1]  # live occupancy entering interval k
     # absorbed mass within sub-interval k; a trailing pseudo-interval with
@@ -185,19 +193,19 @@ def transition_matrix(dm: DemographicModel, n: int = 2) -> jax.Array:
 
     # diagonal: no recombination by e_i, or floating at e_i but re-coalescing
     # before t_{i+1}, or already re-coalesced within [t_i, e_i]
-    p_back = jnp.append(-jnp.expm1(-d_et * c_adj[:-1]), 1.0)
+    p_back = jnp.append(-aexpm1(-d_et * c_adj[:-1]), 1.0)
     diag = at_e0 + at_e1 * p_back + inc[0::2]
 
     # upper triangle: floating at e_i, survives to t_{i+1}, then survives each
     # intermediate interval l and finally coalesces in interval j
-    esc = jnp.append(jnp.exp(-d_et * c_adj[:-1]), 0.0)
+    esc = jnp.append(aexp(-d_et * c_adj[:-1]), 0.0)
     p_float_out = (at_e1 * esc).clip(1e-8, 1.0 - 1e-8)  # leaves interval i
-    p_surv = jnp.append(jnp.exp(-dt * c_adj[:-1]), 0.0).clip(1e-8, 1.0 - 1e-8)
-    p_coal = jnp.append(-jnp.expm1(-dt * c_adj[:-1]), 1.0).clip(1e-8, 1.0 - 1e-8)
+    p_surv = jnp.append(aexp(-dt * c_adj[:-1]), 0.0).clip(1e-8, 1.0 - 1e-8)
+    p_coal = jnp.append(-aexpm1(-dt * c_adj[:-1]), 1.0).clip(1e-8, 1.0 - 1e-8)
     # prod_{i < l < j} p_surv[l] via cumulative log sums (exclusive prefix)
-    cls = jnp.concatenate([jnp.zeros_like(p_surv[:1]), jnp.cumsum(jnp.log(p_surv))])
+    cls = jnp.concatenate([jnp.zeros_like(p_surv[:1]), jnp.cumsum(alog(p_surv))])
     log_span = cls[jnp.maximum(j, i + 1)] - cls[i + 1]  # sum over l in (i, j)
-    upper = p_float_out[i] * jnp.exp(log_span) * p_coal[j] * (j > i)
+    upper = p_float_out[i] * aexp(log_span) * p_coal[j] * (j > i)
 
     return lower + jnp.diagflat(diag) + upper
 
@@ -223,7 +231,8 @@ def q_s(*, eta, s, r):
         P = jax.vmap(expQ, (0, 0, None))(dg * r, dg * rates[:-1], 2)
         # Pcum[i] = product over intervals 0..i; intervals ending at x are
         # 0..k-2 (grid[k-1] == x after insertion)
-        return jax.lax.associative_scan(jnp.matmul, P)[k - 2]
+        mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.associative_scan(mm, P)[k - 2]
 
     R = eta.R
     P_s = chain_at(s)
@@ -232,7 +241,7 @@ def q_s(*, eta, s, r):
         return eta(t) * jnp.where(
             t < s,
             chain_at(t)[0, 1],
-            P_s[0, 1] * jnp.exp(-(R(t) - R(s))),
+            P_s[0, 1] * aexp(-(R(t) - R(s))),
         )
 
     return q, P_s[0, 0]

@@ -1,0 +1,181 @@
+"""Faithfully-rounded float32 transcendentals for the parameter assembly.
+
+XLA:TPU lowers f32 `exp` / `expm1` / `log` to fast polynomial
+approximations with ~4e-6 .. 5e-5 max relative error (measured on v5e;
+CPU gives ~2e-7).  That is harmless for the HMM kernels, but the SMC'
+transition-assembly VJP cancels heavily across sub-intervals and
+amplifies the transcendental noise ~1e5x into O(1) *gradient* error —
+the root cause of the f32 posterior-recovery regression
+(tools/f32_xplat.py: identical inputs, f32 assembly VJP fine on CPU,
+10-100x wrong on TPU).
+
+These drop-in replacements recover a-few-ulp f32 accuracy from exactly
+rounded primitives (+, *, ldexp) via Cody-Waite argument reduction +
+short Taylor series, and pin their derivatives with custom_jvp so the
+differentiated assembly graph is built from the same faithful pieces.
+They are used throughout the assembly modules (transition, size_history,
+params, utils.numerics); the Pallas/HMM kernels keep the fast native ops.
+
+In float64 (or on CPU) the native ops are already faithful; the wrappers
+dispatch straight through for f64 inputs so the f64 path is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Cody-Waite split of ln 2: hi has 16 trailing zero bits, so k * LN2_HI is
+# exact in f32 for |k| < 2^16; lo carries the remainder.
+_LN2_HI = np.float32(0.693359375)
+_LN2_LO = np.float32(-2.12194440e-4)
+_INV_LN2 = np.float32(1.4426950408889634)
+
+
+def _is_f32(x) -> bool:
+    return jnp.result_type(x) == jnp.float32
+
+
+def _exp_impl(x):
+    "exp(x), f32, ~1-2 ulp: reduce to [-ln2/2, ln2/2], degree-7 Taylor."
+    x = jnp.asarray(x, jnp.float32)
+    k = jnp.round(x * _INV_LN2)
+    r = (x - k * _LN2_HI) - k * _LN2_LO
+    # Taylor to r^7: max truncation ~ (ln2/2)^8 / 8! ~ 5e-9 relative
+    p = 1.0 / 5040.0
+    for c in (1.0 / 720, 1.0 / 120, 1.0 / 24, 1.0 / 6, 0.5, 1.0, 1.0):
+        p = p * r + c
+    # clamp k so ldexp neither overflows the int path nor traps: beyond
+    # +-150 the f32 result saturates to inf/0 anyway
+    k = jnp.clip(k, -150.0, 150.0)
+    return jnp.ldexp(p, k.astype(jnp.int32))
+
+
+@jax.custom_jvp
+def exp(x):
+    "Faithful f32 exp; dispatches to the native op for f64 inputs."
+    if not _is_f32(x):
+        return jnp.exp(x)
+    return _exp_impl(x)
+
+
+@exp.defjvp
+def _exp_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = exp(x)
+    return y, y * dx
+
+
+def _expm1_impl(x):
+    "expm1(x), f32: series for |x| < ln2/2 (no cancellation beyond)."
+    x = jnp.asarray(x, jnp.float32)
+    small = jnp.abs(x) < 0.3465735902799726  # ln2 / 2
+    xs = jnp.where(small, x, 0.0)
+    # x * (1 + x/2 + ... + x^6/5040): truncation ~ x^7/40320, < 4e-10 rel
+    p = 1.0 / 5040.0
+    for c in (1.0 / 720, 1.0 / 120, 1.0 / 24, 1.0 / 6, 0.5, 1.0):
+        p = p * xs + c
+    series = xs * p
+    big = jnp.where(small, 0.0, x)
+    return jnp.where(small, series, _exp_impl(big) - 1.0)
+
+
+@jax.custom_jvp
+def expm1(x):
+    "Faithful f32 expm1; native for f64."
+    if not _is_f32(x):
+        return jnp.expm1(x)
+    return _expm1_impl(x)
+
+
+@expm1.defjvp
+def _expm1_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    if not _is_f32(x):
+        return jnp.expm1(x), jnp.exp(x) * dx
+    return _expm1_impl(x), _exp_impl(x) * dx
+
+
+def _log_impl(x):
+    "log(x), f32, ~1-2 ulp: frexp to [sqrt(2)/2, sqrt(2)), atanh series."
+    x = jnp.asarray(x, jnp.float32)
+    m, e = jnp.frexp(x)  # m in [0.5, 1), x = m * 2^e
+    shift = m < 0.7071067811865476
+    m = jnp.where(shift, 2.0 * m, m)
+    e = jnp.where(shift, e - 1, e).astype(jnp.float32)
+    s = (m - 1.0) / (m + 1.0)  # |s| <= 0.1716
+    z = s * s
+    # 2 artanh(s) = 2s(1 + z/3 + z^2/5 + z^3/7 + z^4/9); trunc ~ 2 s^11 / 11
+    p = 1.0 / 9.0
+    for c in (1.0 / 7, 1.0 / 5, 1.0 / 3, 1.0):
+        p = p * z + c
+    logm = 2.0 * s * p
+    # e == 0 exactly on [sqrt(2)/2, sqrt(2)): no cancellation with logm
+    return e * _LN2_HI + (logm + e * _LN2_LO)
+
+
+@jax.custom_jvp
+def log(x):
+    "Faithful f32 log; native for f64."
+    if not _is_f32(x):
+        return jnp.log(x)
+    return _log_impl(x)
+
+
+@log.defjvp
+def _log_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    if not _is_f32(x):
+        return jnp.log(x), dx / x
+    return _log_impl(x), dx / x
+
+
+def _log1p_impl(x):
+    x = jnp.asarray(x, jnp.float32)
+    small = jnp.abs(x) < 0.2928932188134525  # 1 - sqrt(2)/2
+    xs = jnp.where(small, x, 0.0)
+    # log(1+x) = x(1 - x/2 + x^2/3 - ...): alternating to x^9
+    p = -1.0 / 10.0
+    for c in (1.0 / 9, -1.0 / 8, 1.0 / 7, -1.0 / 6, 1.0 / 5, -1.0 / 4,
+              1.0 / 3, -1.0 / 2, 1.0):
+        p = p * xs + c
+    series = xs * p
+    big = jnp.where(small, 1.0, 1.0 + x)
+    return jnp.where(small, series, _log_impl(big))
+
+
+@jax.custom_jvp
+def log1p(x):
+    "Faithful f32 log1p; native for f64."
+    if not _is_f32(x):
+        return jnp.log1p(x)
+    return _log1p_impl(x)
+
+
+@log1p.defjvp
+def _log1p_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    if not _is_f32(x):
+        return jnp.log1p(x), dx / (1.0 + x)
+    return _log1p_impl(x), dx / (1.0 + x)
+
+
+# -- compositions used by the parameter transforms ---------------------------
+
+
+def softplus(x):
+    "log(1 + e^x) = max(x, 0) + log1p(e^-|x|), from the faithful pieces."
+    return jnp.maximum(x, 0.0) + log1p(exp(-jnp.abs(x)))
+
+
+def expit(x):
+    "1 / (1 + e^-x); TPU f32 division is faithful (measured ~1e-7)."
+    return 1.0 / (1.0 + exp(-x))
+
+
+def geomspace(a, b, n: int):
+    "exp(linspace(log a, log b, n)) with the faithful exp/log."
+    return exp(jnp.linspace(log(a), log(b), n))

@@ -10,13 +10,17 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from phlash_tpu.utils.accurate import (
+    exp as aexp, expm1 as aexpm1, log1p as alog1p,
+)
+
 
 def softplus_inv(y):
     """Inverse of softplus for y > 0: log(exp(y) - 1), stable for large y.
 
     (reference: /root/reference/src/phlash/util.py:49-51)
     """
-    return y + jnp.log1p(-jnp.exp(-y))
+    return y + alog1p(-aexp(-y))
 
 
 def expm1inv(x):
@@ -28,7 +32,7 @@ def expm1inv(x):
     """
     big = x > 10.0
     x_lo = jnp.where(big, 1.0, x)  # safe operand for the small-x branch
-    return jnp.where(big, -jnp.exp(-x) / jnp.expm1(-x), 1.0 / jnp.expm1(x_lo))
+    return jnp.where(big, -aexp(-x) / aexpm1(-x), 1.0 / aexpm1(x_lo))
 
 
 def texp_mean(x):

@@ -34,22 +34,30 @@ TB, M, LANES = 4, 16, 128
 INNER = 4096  # fma/roll steps per grid step
 
 
+STREAMS = 4  # independent dependence chains so the issue rate, not the
+# ALU latency, is what saturates
+
+
 def _fma_kernel(a_ref, b_ref, c_ref, o_ref):
     b, c = b_ref[...], c_ref[...]
+    init = tuple(a_ref[...] * (1.0 + 0.01 * k) for k in range(STREAMS))
 
-    def body(i, a):
-        return a * b + c
+    def body(i, accs):
+        return tuple(a * b + c for a in accs)
 
-    o_ref[...] = lax.fori_loop(jnp.int32(0), jnp.int32(INNER), body, a_ref[...])
+    accs = lax.fori_loop(jnp.int32(0), jnp.int32(INNER), body, init)
+    o_ref[...] = sum(accs)
 
 
 def _roll_kernel(a_ref, b_ref, c_ref, o_ref):
     b = b_ref[...]
+    init = tuple(a_ref[...] * (1.0 + 0.01 * k) for k in range(STREAMS))
 
-    def body(i, a):
-        return b * a + pltpu.roll(a, jnp.int32(1), 1)
+    def body(i, accs):
+        return tuple(b * a + pltpu.roll(a, jnp.int32(1), 1) for a in accs)
 
-    o_ref[...] = lax.fori_loop(jnp.int32(0), jnp.int32(INNER), body, a_ref[...])
+    accs = lax.fori_loop(jnp.int32(0), jnp.int32(INNER), body, init)
+    o_ref[...] = sum(accs)
 
 
 @functools.partial(jax.jit, static_argnames=("which", "grid"))
@@ -82,7 +90,7 @@ def measure(which: str, grid: int = 64, reps: int = 5) -> float:
         best = min(best, (time.perf_counter() - t0) / 10)
     elems = TB * M * LANES
     ops_per = 2 if which == "fma" else 3  # mul+add | mul+add+roll
-    return grid * INNER * elems * ops_per / best
+    return grid * INNER * STREAMS * elems * ops_per / best
 
 
 def main():
