@@ -86,6 +86,13 @@ def main():
 
     base = _measure(jax.jit(jax.grad(base_loss)), pps, B * S * L_base, inner=3)
 
+    # roofline accounting (docs/DESIGN.md "Roofline"): counted block-ops per
+    # site per 128-instance tile, x2 native (8,128) instrs per (16,128) op,
+    # against the v5e VPU 4-port issue peak (4 x ~940 MHz).
+    OPS_FWD, OPS_BWD, ISSUE_PEAK = 41.375, 94.0, 3.76e9
+    instr_fwd = ours_fwd * 1e6 / 128 * OPS_FWD * 2
+    instr_grad = ours * 1e6 / 128 * (OPS_FWD + OPS_BWD) * 2
+
     print(
         json.dumps(
             {
@@ -101,6 +108,8 @@ def main():
                     # ratio's asymmetry is self-describing
                     "ours_L": L,
                     "baseline_L": L_base,
+                    "vpu_issue_peak_fraction_fwd": round(instr_fwd / ISSUE_PEAK, 2),
+                    "vpu_issue_peak_fraction_fwd_grad": round(instr_grad / ISSUE_PEAK, 2),
                 },
             }
         )
