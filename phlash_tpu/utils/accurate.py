@@ -42,6 +42,11 @@ def _is_f32(x) -> bool:
 def _exp_impl(x):
     "exp(x), f32, ~1-2 ulp: reduce to [-ln2/2, ln2/2], degree-7 Taylor."
     x = jnp.asarray(x, jnp.float32)
+    # saturate before the reduction: f32 exp is exactly inf above ~88.73
+    # and exactly 0 below ~-103.98, and inf/-inf inputs would otherwise
+    # produce inf - inf = NaN in the Cody-Waite subtraction (NaN inputs
+    # still propagate through clip)
+    x = jnp.clip(x, -104.0, 89.0)
     k = jnp.round(x * _INV_LN2)
     r = (x - k * _LN2_HI) - k * _LN2_LO
     # Taylor to r^7: max truncation ~ (ln2/2)^8 / 8! ~ 5e-9 relative
@@ -102,10 +107,20 @@ def _expm1_jvp(primals, tangents):
 def _log_impl(x):
     "log(x), f32, ~1-2 ulp: frexp to [sqrt(2)/2, sqrt(2)), atanh series."
     x = jnp.asarray(x, jnp.float32)
-    m, e = jnp.frexp(x)  # m in [0.5, 1), x = m * 2^e
+    # subnormal inputs break frexp's m-in-[0.5,1) contract on the TPU
+    # backend (log(1e-45) came out -4.27), and XLA flushes subnormal
+    # *products* to zero so rescaling by multiplication is also out.
+    # Rebuild them from the bit pattern instead: a positive subnormal is
+    # exactly mantissa * 2^-149, and the mantissa (< 2^23) converts to
+    # f32 exactly.
+    tiny = x < np.float32(2.0 ** -126)
+    mant = jax.lax.bitcast_convert_type(jnp.abs(x), jnp.int32).astype(jnp.float32)
+    xn = jnp.where(tiny, mant, x)
+    m, e = jnp.frexp(xn)  # m in [0.5, 1), xn = m * 2^e
     shift = m < 0.7071067811865476
     m = jnp.where(shift, 2.0 * m, m)
     e = jnp.where(shift, e - 1, e).astype(jnp.float32)
+    e = jnp.where(tiny, e - 149.0, e)
     s = (m - 1.0) / (m + 1.0)  # |s| <= 0.1716
     z = s * s
     # 2 artanh(s) = 2s(1 + z/3 + z^2/5 + z^3/7 + z^4/9); trunc ~ 2 s^11 / 11
@@ -114,7 +129,26 @@ def _log_impl(x):
         p = p * z + c
     logm = 2.0 * s * p
     # e == 0 exactly on [sqrt(2)/2, sqrt(2)): no cancellation with logm
-    return e * _LN2_HI + (logm + e * _LN2_LO)
+    val = e * _LN2_HI + (logm + e * _LN2_LO)
+    # IEEE edges the reduction cannot represent: log(+-0) = -inf,
+    # log(negative) = NaN, log(inf) = inf, log(NaN) = NaN.  Classifying
+    # via float comparisons is unsound here: XLA flushes subnormals to
+    # zero in f32 compares (`x > 0` is False for a positive subnormal),
+    # and its simplifier rewrites the integer `bitcast(x) == 0` test
+    # right back into the flushed float compare once fused.  Comparing
+    # the *int->float converted* magnitude/sign fields against 0.5
+    # survives both: the converted values are ordinary normal floats and
+    # the pattern is not an equality-with-zero the simplifier touches.
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    mag_f = (xi & jnp.int32(0x7FFFFFFF)).astype(jnp.float32)
+    sign_f = (jax.lax.shift_right_logical(xi, jnp.int32(31))).astype(jnp.float32)
+    is_zero = mag_f < 0.5
+    is_neg = (sign_f > 0.5) & ~is_zero
+    is_inf = mag_f == np.float32(0x7F800000)  # 255 * 2^23, f32-exact
+    is_nan = mag_f > np.float32(0x7F800000)
+    val = jnp.where(is_inf, jnp.inf, val)
+    val = jnp.where(is_zero, -jnp.inf, val)
+    return jnp.where(is_neg | is_nan, jnp.nan, val)
 
 
 @jax.custom_jvp
@@ -161,6 +195,22 @@ def _log1p_jvp(primals, tangents):
     if not _is_f32(x):
         return jnp.log1p(x), dx / (1.0 + x)
     return _log1p_impl(x), dx / (1.0 + x)
+
+
+def matmul_hi(a, b):
+    """matmul with precision pinned to HIGHEST — REQUIRED on every
+    f32-critical assembly/dynamics product.
+
+    XLA:TPU lowers f32 matmuls to bf16 MXU passes by default (~4e-3
+    relative per product); the transition associative_scan's VJP amplifies
+    that through cross-interval cancellation into O(1) *gradient* error —
+    the root cause of the round-2 f32 posterior-recovery regression
+    (tools/f32_xplat.py: bias 5.6x -> 3.4e-4 after pinning).  Every
+    matmul on the parameter-assembly or SVGD-dynamics path must use this
+    helper (or pass the precision explicitly); the products there are all
+    tiny, so full f32 accuracy is free.
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 # -- compositions used by the parameter transforms ---------------------------

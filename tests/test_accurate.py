@@ -42,6 +42,42 @@ def test_accurate_f32_few_ulp(name, fn, ref, domain):
     assert rel.max() < 5e-7, (name, rel.max())
 
 
+def test_accurate_ieee_edges():
+    """0 / subnormal / +-inf / NaN / negative inputs follow IEEE log/exp
+    semantics (they used to return silently-wrong finite values)."""
+    inf, nan = np.float32(np.inf), np.float32(np.nan)
+    sub = np.float32(1e-45)  # smallest positive f32 subnormal territory
+
+    lg = np.asarray(jax.jit(am.log)(jnp.asarray([0.0, -1.0, inf, nan, sub, 1e-40], jnp.float32)))
+    assert lg[0] == -np.inf
+    assert np.isnan(lg[1]) and np.isnan(lg[3])
+    assert lg[2] == np.inf
+    # subnormals: correct finite magnitudes, not the old -4.27
+    assert np.allclose(lg[4], np.log(np.float64(sub)), rtol=1e-6)
+    assert np.allclose(lg[5], np.log(np.float64(np.float32(1e-40))), rtol=1e-6)
+
+    ex = np.asarray(jax.jit(am.exp)(jnp.asarray([inf, -inf, nan, 89.0, -104.0], jnp.float32)))
+    assert ex[0] == np.inf and ex[1] == 0.0 and np.isnan(ex[2])
+    assert ex[3] == np.inf  # f32 exp overflows just below 89
+    assert ex[4] <= 1e-44
+
+    em = np.asarray(jax.jit(am.expm1)(jnp.asarray([-inf, inf, nan], jnp.float32)))
+    assert em[0] == -1.0 and em[1] == np.inf and np.isnan(em[2])
+
+    l1 = np.asarray(jax.jit(am.log1p)(jnp.asarray([-1.0, inf, nan, -2.0], jnp.float32)))
+    assert l1[0] == -np.inf and l1[1] == np.inf
+    assert np.isnan(l1[2]) and np.isnan(l1[3])
+
+    # the composition the prior depends on: log(softplus(very negative))
+    # must head to -inf-ish linearly, not flatline at a bogus constant
+    from phlash_tpu.utils import softplus_inv
+
+    sp = np.asarray(jax.jit(am.softplus)(jnp.asarray([-103.0], jnp.float32)))
+    assert sp[0] == 0.0 or sp[0] < 2e-44
+    si = np.asarray(jax.jit(softplus_inv)(jnp.asarray([1e-40], jnp.float32)))
+    assert si[0] < -90.0
+
+
 def test_accurate_f64_dispatches_native():
     x = jnp.asarray(XS, dtype=jnp.float64)
     np.testing.assert_array_equal(np.asarray(am.exp(x)), np.asarray(jnp.exp(x)))
