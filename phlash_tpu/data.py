@@ -342,11 +342,12 @@ class _FastPathUnavailable(Exception):
 class VcfContig(Contig):
     """Data from a VCF/BCF file restricted to one region.
 
-    Records are expected to be coordinate-sorted within each contig (the
-    VCF spec requires this and htslib-indexed files guarantee it); the
-    streaming reader early-stops once the region has been passed.  If
-    out-of-order positions are detected the file is rescanned in full, with
-    a warning, so unsorted input still parses correctly — just slower.
+    The streaming reader early-stops once the region has been passed only
+    when a tabix index supplied the seek offset (a .tbi proves the file is
+    coordinate-sorted — tabix refuses to index unsorted input); files
+    without an index are always scanned in full, which is correct for any
+    record order.  If an indexed file still shows out-of-order positions
+    (index/data mismatch) it is rescanned in full, with a warning.
 
     Args:
         vcf_file: path to a .vcf, .vcf.gz or .bcf file
@@ -456,8 +457,9 @@ class VcfContig(Contig):
     def _get_data_fast(self, window_size: int) -> dict[str, np.ndarray] | None:
         """Streaming vectorized path: C tokenizer over ~16 MB blocks of
         complete lines + incremental numpy windowing.  Memory is O(block +
-        windows), independent of file size; for region queries on sorted
-        VCFs the scan stops as soon as the region has been passed.
+        windows), independent of file size; for tabix-indexed region
+        queries the scan seeks to the region and stops as soon as it has
+        been passed.
 
         Only for text VCFs (.bcf decodes through io.bcf / pysam); returns
         None when the native extension is unavailable.
@@ -548,7 +550,16 @@ class VcfContig(Contig):
             return True
 
         try:
-            if not scan(early_stop=True):
+            # early-stopping (skipping blocks after the region has been
+            # passed) is only sound on coordinate-sorted input.  A tabix
+            # index proves sortedness (tabix refuses unsorted files), so
+            # early-stop exactly when one supplied a seek offset; without
+            # an index every block is scanned, which is order-independent.
+            # The in-scan monotonicity check stays as a safety net for an
+            # index paired with a mismatched/rewritten data file — it
+            # cannot see disorder past an early-stop break, which is why
+            # it is not the primary guard.
+            if not scan(early_stop=voff is not None):
                 H[:] = False
                 afs[:] = 0
                 scan(early_stop=False)

@@ -79,15 +79,12 @@ def test_fast_path_matches_python(tmp_path, rng):
 
 
 @needs_c
-def test_unsorted_vcf_falls_back_to_full_scan(tmp_path, caplog):
-    """Out-of-order positions must not be dropped by the early-stop scan.
-
-    The streaming fast path assumes coordinate-sorted records so it can stop
-    once the region has been passed; on detecting disorder it must rescan the
-    whole file (with a warning) and still produce the complete answer.
-    """
-    import logging
-
+def test_unsorted_vcf_full_scan_is_complete(tmp_path):
+    """Unindexed files are always scanned in full, so record order is
+    irrelevant: early-stopping is reserved for tabix-indexed queries (a
+    .tbi proves coordinate-sortedness).  An unsorted file must therefore
+    produce the identical region answer to its sorted equivalent — even
+    when the disorder spans what an early-stop would have skipped."""
     from phlash_tpu.data import VcfContig
 
     header = [
@@ -96,7 +93,7 @@ def test_unsorted_vcf_falls_back_to_full_scan(tmp_path, caplog):
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
     ]
     # a record *after* the interval appears first; a sorted-assuming scan
-    # would early-stop and drop everything that follows
+    # would early-stop right there and drop everything that follows
     rows = [
         "chr3\t9000\t.\tA\tT\t.\tPASS\t.\tGT\t0/1",
         "chr3\t100\t.\tA\tT\t.\tPASS\t.\tGT\t0/1",
@@ -106,9 +103,7 @@ def test_unsorted_vcf_falls_back_to_full_scan(tmp_path, caplog):
     path = tmp_path / "unsorted.vcf"
     path.write_text("\n".join(header + rows) + "\n")
     c = VcfContig(str(path), samples=["s1"], contig="chr3", interval=(1, 500))
-    with caplog.at_level(logging.WARNING):
-        d = c.get_data(100)
-    assert "not coordinate-sorted" in caplog.text
+    d = c.get_data(100)
     # records at 100, 200, 300 -> windows 0, 1, 2; het at 100 and 300
     np.testing.assert_array_equal(d["het_matrix"][0][:4], [1, 0, 1, 0])
     np.testing.assert_array_equal(d["afs"], [2])
@@ -120,3 +115,40 @@ def test_unsorted_vcf_falls_back_to_full_scan(tmp_path, caplog):
     d2 = c2.get_data(100)
     np.testing.assert_array_equal(d["het_matrix"], d2["het_matrix"])
     np.testing.assert_array_equal(d["afs"], d2["afs"])
+
+
+@needs_c
+def test_indexed_but_unsorted_vcf_warns_and_rescans(tmp_path, caplog, monkeypatch):
+    """Safety net: an index that claims sortedness over a file that is not
+    (index/data mismatch) must trigger the in-scan disorder detection,
+    warn, and rescan in full instead of silently dropping records."""
+    import gzip as _gzip
+    import logging
+
+    from phlash_tpu import data as data_mod
+    from phlash_tpu.data import VcfContig
+
+    header = [
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=chr3,length=10000>",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+    ]
+    rows = [
+        "chr3\t9000\t.\tA\tT\t.\tPASS\t.\tGT\t0/1",
+        "chr3\t100\t.\tA\tT\t.\tPASS\t.\tGT\t0/1",
+        "chr3\t300\t.\tA\tT\t.\tPASS\t.\tGT\t0/1",
+    ]
+    path = tmp_path / "mismatch.vcf.gz"
+    with _gzip.open(path, "wt") as f:
+        f.write("\n".join(header + rows) + "\n")
+    (tmp_path / "mismatch.vcf.gz.tbi").write_bytes(b"")  # existence check only
+
+    import phlash_tpu.io.tabix as tabix_mod
+
+    monkeypatch.setattr(tabix_mod, "region_start_voff", lambda *a, **k: 0)
+    c = VcfContig(str(path), samples=["s1"], contig="chr3", interval=(1, 500))
+    with caplog.at_level(logging.WARNING):
+        d = c.get_data(100)
+    assert "not coordinate-sorted" in caplog.text
+    np.testing.assert_array_equal(d["het_matrix"][0][:4], [1, 0, 1, 0])
+    np.testing.assert_array_equal(d["afs"], [2])
