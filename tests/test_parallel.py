@@ -100,7 +100,7 @@ def test_sharded_pallas_forward_matches_dense():
         ll = jax.jit(kern.loglik_batched)(pps, inds)
     assert len(ll.sharding.device_set) == 8  # actually ran distributed
 
-    dense = DenseKernel(M=16, data=data)
+    dense = DenseKernel(M=16, data=data, double_precision=True)
     want = dense.loglik_batched(jax.tree.map(lambda a: a.astype(jnp.float64), pps), inds)
     np.testing.assert_allclose(np.asarray(ll), np.asarray(want), rtol=1e-4)
 
@@ -135,18 +135,11 @@ def test_sharded_pallas_adjoint_matches_dense():
             jax.value_and_grad(lambda p: (kern.loglik_batched(p, inds) * W).sum())
         )(pps)
 
-    dkern = DenseKernel(M=16, data=data, seg_len=8)
-    pps64 = jax.tree.map(lambda a: a.astype(jnp.float64), pps)
-    dval, gd = jax.value_and_grad(
-        lambda p: (dkern.loglik_batched(p, inds) * W).sum()
-    )(pps64)
+    from phlash_tpu.ops.check import assert_grads_match, dense_f64_value_and_grad
+
+    dval, gd = dense_f64_value_and_grad(data, pps, inds, W, seg_len=8)
     np.testing.assert_allclose(float(val), float(dval), rtol=1e-4)
-    for name, a, b in zip(pps._fields, gp, gd):
-        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        if name != "pi":
-            a, b = a.sum(1), b.sum(1)
-        denom = np.abs(b).max() + 1e-12
-        np.testing.assert_allclose(a / denom, b / denom, atol=2e-5, err_msg=name)
+    assert_grads_match(pps._fields, gp, gd)
 
 
 @pytest.mark.slow  # ~25 s interpret-mode compile; the forward test above
@@ -173,7 +166,7 @@ def test_sharded_pallas_filter_matches_dense():
     with pltpu.force_tpu_interpret_mode():
         pis = jax.jit(kern.filter_batched)(pps, warmup)
 
-    dense = DenseKernel(M=16, data=data)
+    dense = DenseKernel(M=16, data=data, double_precision=True)
     want = dense.filter_batched(
         jax.tree.map(lambda a: a.astype(jnp.float64), pps), warmup
     )

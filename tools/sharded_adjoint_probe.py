@@ -35,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental.pallas import tpu as pltpu
 
-from phlash_tpu.ops.kernel_dense import DenseKernel
 from phlash_tpu.ops.kernel_smc import SMCKernel
 from phlash_tpu.params import PSMCParams
 from phlash_tpu.parallel import make_mesh
@@ -64,18 +63,11 @@ def main():
     t1 = time.time()
     print(f"[{N_DEV} dev] sharded value+grad executed in {t1 - t0:.1f}s", flush=True)
 
-    dkern = DenseKernel(M=16, data=data, seg_len=8)
-    pps64 = jax.tree.map(lambda a: a.astype(jnp.float64), pps)
-    dval, dgrads = jax.value_and_grad(
-        lambda p: (dkern.loglik_batched(p, inds) * W).sum()
-    )(pps64)
+    from phlash_tpu.ops.check import assert_grads_match, dense_f64_value_and_grad
+
+    dval, dgrads = dense_f64_value_and_grad(data, pps, inds, W, seg_len=8)
     np.testing.assert_allclose(float(val), float(dval), rtol=1e-4)
-    for name, a, b in zip(pps._fields, grads, dgrads):
-        a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
-        if name != "pi":
-            a, b = a.sum(1), b.sum(1)
-        denom = np.abs(b).max() + 1e-12
-        np.testing.assert_allclose(a / denom, b / denom, atol=2e-5, err_msg=name)
+    assert_grads_match(pps._fields, grads, dgrads)
     print(f"[{N_DEV} dev] sharded adjoint matches dense backend", flush=True)
 
 
