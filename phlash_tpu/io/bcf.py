@@ -229,8 +229,16 @@ def _header_dicts(text: str):
         lo, hi = line.find("<"), line.rfind(">")
         if lo < 0 or hi < lo:
             return None
-        body, parts, buf, quoted = line[lo + 1 : hi], [], [], False
+        body, parts, buf, quoted, escaped = line[lo + 1 : hi], [], [], False, False
         for ch in body:
+            if escaped:  # backslash-escaped char inside a quoted string
+                buf.append(ch)
+                escaped = False
+                continue
+            if quoted and ch == "\\":
+                buf.append(ch)
+                escaped = True
+                continue
             if ch == '"':
                 quoted = not quoted
             if ch == "," and not quoted:

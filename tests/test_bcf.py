@@ -270,6 +270,28 @@ def test_header_quoted_description_not_miskeyed():
     assert samples == ["s1"]
 
 
+def test_header_escaped_quote_in_description():
+    r"""A backslash-escaped quote (\") inside a Description (legal per the
+    VCF spec) must not flip the quoted state and mis-split the body."""
+    from phlash_tpu.io.bcf import _header_dicts
+
+    text = "\n".join(
+        [
+            "##fileformat=VCFv4.2",
+            '##INFO=<ID=X,Number=1,Type=Integer,Description="a \\"b\\", IDX=9",IDX=1>',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+            "##contig=<ID=chr1,length=1000,IDX=0>",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+        ]
+    )
+    contigs, strings, samples = _header_dicts(text)
+    # X's real IDX is the trailing 1, not the 9 inside the escaped string
+    assert strings[1] == "X"
+    assert strings[2] == "GT"
+    assert 9 not in strings
+    assert contigs == {0: "chr1"} and samples == ["s1"]
+
+
 def test_zero_count_format_field(tmp_path):
     """A FORMAT field with count 0 (type byte 0x00) is legal; skip it.
 
