@@ -26,6 +26,7 @@ from jax.scipy.special import xlogy
 
 import phlash_tpu.hmm
 from phlash_tpu.params import MCMCParams, PSMCParams
+from phlash_tpu.utils.accurate import matmul_hi as mm
 
 
 def log_prior(mcp: MCMCParams) -> jax.Array:
@@ -76,7 +77,6 @@ def log_density(
         assert T.ndim == 2 and T.shape[1] == n - 1
         etbl = dm.eta.etbl(n)
         esfs = (etbl / etbl.sum()).astype(jnp.float32)
-        mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)  # noqa: E731
         l_afs = xlogy(mm(T, afs.astype(jnp.float32)), mm(T, esfs)).sum()
     else:
         l_afs = 0.0
@@ -128,7 +128,6 @@ def log_density_batched(
         def one_afs(dm):
             etbl = dm.eta.etbl(n)
             esfs = (etbl / etbl.sum()).astype(jnp.float32)
-            mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)  # noqa: E731
             return xlogy(mm(T, afs32), mm(T, esfs)).sum()
 
         l_afs = jax.vmap(one_afs)(dms)

@@ -24,6 +24,7 @@ from jax import lax
 from phlash_tpu.ops.packing import dense_transition
 from phlash_tpu.params import PSMCParams
 from phlash_tpu.size_history import DemographicModel
+from phlash_tpu.utils.accurate import matmul_hi
 
 
 def _pick_seg_len(L: int) -> int:
@@ -57,7 +58,7 @@ def forward_ll_dense(pp: PSMCParams, data: jax.Array, seg_len: int = 512):
         def site(c, ob):
             a, l = c
             live = ob >= -1
-            a2 = jnp.matmul(a, A, precision=jax.lax.Precision.HIGHEST) * emis[
+            a2 = matmul_hi(a, A) * emis[
                 jnp.clip(ob, -1, 1)
             ]
             norm = jnp.maximum(a2.sum(), 1e-35)

@@ -26,6 +26,7 @@ from jax import vmap
 from phlash_tpu.ppoly import PPoly
 from phlash_tpu.utils import Pattern, texp_mean
 from phlash_tpu.utils.accurate import exp as aexp, expm1 as aexpm1, log as alog
+from phlash_tpu.utils.accurate import matmul_hi
 
 
 class SizeHistory(NamedTuple):
@@ -162,11 +163,7 @@ class SizeHistory(NamedTuple):
         # W in the working dtype: a f64 matmul here would silently promote
         # an otherwise-f32 model (and large f64 matmuls break the v5e
         # compiler); W's entries are exact in f64 and fine rounded to f32
-        # HIGHEST: TPU f32 matmul defaults to bf16 passes (see transition.py)
-        return jnp.matmul(
-            jnp.asarray(_W_matrix(n), dtype=etjj.dtype), etjj,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        return matmul_hi(jnp.asarray(_W_matrix(n), dtype=etjj.dtype), etjj)
 
     # -- quantiles / metrics --------------------------------------------------
     def quantile(self, q: float) -> float:

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from phlash_tpu.utils.accurate import matmul_hi
 
 
 class SVGDState(NamedTuple):
@@ -43,9 +44,7 @@ def svgd_direction(flat_particles: jax.Array, flat_grads: jax.Array) -> jax.Arra
     h = median_bandwidth(sq, P)
     K = jnp.exp(-sq / h)  # (P, P)
     # attractive term: K^T @ grads; repulsive term: sum_j dK(x_j, x_i)/dx_j
-    # HIGHEST: TPU f32 matmul defaults to bf16 MXU passes; the Gram-matrix
-    # products are tiny, so full f32 accuracy is free
-    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)  # noqa: E731
+    mm = matmul_hi
     attract = mm(K, flat_grads)
     repulse = (2.0 / h) * (mm(K, flat_particles) - K.sum(1, keepdims=True) * flat_particles)
     # note sign: d/dx_j exp(-|x_j - x_i|^2/h) summed over j

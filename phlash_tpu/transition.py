@@ -17,14 +17,13 @@ kernels (see phlash_tpu.params.PSMCParams):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from phlash_tpu.size_history import DemographicModel
 from phlash_tpu.utils import texp_mean
 from phlash_tpu.utils.accurate import exp as aexp, expm1 as aexpm1, log as alog
+from phlash_tpu.utils.accurate import matmul_hi
 
 
 def expQ(r, c, n):
@@ -170,13 +169,10 @@ def transition_matrix(dm: DemographicModel, n: int = 2) -> jax.Array:
     P2 = jnp.where(degenerate[:, None, None], eye2[None], P2)
     p02 = jnp.where(degenerate, 0.0, p02)
     p12 = jnp.where(degenerate, 0.0, p12)
-    # precision pin: XLA:TPU lowers f32 matmul to bf16 MXU passes by
-    # default (~4e-3 relative per product) — catastrophic for the scan's
-    # VJP, whose cross-interval cancellations amplify it to O(1) gradient
-    # error (tools/f32_xplat.py).  HIGHEST keeps true f32 accumulation.
-    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    # matmul_hi (precision pin): see utils/accurate.py — unpinned f32
+    # matmul is bf16 on TPU and corrupts this scan's VJP.
     cum2 = jax.lax.associative_scan(
-        mm, jnp.concatenate([eye2[None], P2], axis=0)
+        matmul_hi, jnp.concatenate([eye2[None], P2], axis=0)
     )
     a0, a1 = cum2[:, 0, 0], cum2[:, 0, 1]  # live occupancy entering interval k
     # absorbed mass within sub-interval k; a trailing pseudo-interval with
@@ -231,8 +227,7 @@ def q_s(*, eta, s, r):
         P = jax.vmap(expQ, (0, 0, None))(dg * r, dg * rates[:-1], 2)
         # Pcum[i] = product over intervals 0..i; intervals ending at x are
         # 0..k-2 (grid[k-1] == x after insertion)
-        mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-        return jax.lax.associative_scan(mm, P)[k - 2]
+        return jax.lax.associative_scan(matmul_hi, P)[k - 2]
 
     R = eta.R
     P_s = chain_at(s)
