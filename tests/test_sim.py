@@ -122,6 +122,248 @@ def test_scrm_threshold_constant():
     assert SCRM_RHO_THRESHOLD == 1e5
 
 
+# -- scrm subprocess end-to-end (fake executable + stub demes) ----------------
+#
+# The optional demes/stdpopsim packages are absent here, so the subprocess
+# tier is exercised with a minimal demes stand-in and a fake `scrm` binary
+# that echoes its argv (as real scrm does) and emits a canned
+# transposed-segsites stream.  This executes the real command assembly,
+# process spawn, stream parse, and exit-status handling end to end
+# (cf. reference sim.py:191-252, whose scrm path is equally subprocess-driven).
+
+
+def _install_fake_demes(monkeypatch, ms_flags=""):
+    import sys
+    import types
+
+    fake = types.ModuleType("demes")
+    calls = []
+
+    def to_ms(graph, *, N0, samples):
+        calls.append({"graph": graph, "N0": N0, "samples": list(samples)})
+        return ms_flags
+
+    fake.to_ms = to_ms
+    monkeypatch.setitem(sys.modules, "demes", fake)
+    return calls
+
+
+def _fake_stdpopsim_pair(L):
+    "Duck-typed (model, chrom) shaped like stdpopsim's objects."
+    from types import SimpleNamespace
+
+    graph = SimpleNamespace(demes=[SimpleNamespace(name="pop0")])
+    model = SimpleNamespace(model=SimpleNamespace(to_demes=lambda: graph))
+    chrom = SimpleNamespace(
+        interval_list=[np.array([[0.0, float(L)]])],
+        mutation_rate=1e-8,
+        recombination_map=SimpleNamespace(rate=np.array([1e-8])),
+    )
+    return model, chrom
+
+
+def _write_fake_scrm(tmp_path, body_lines, exit_code=0):
+    "A fake scrm: echo argv (like the real binary), print the canned body."
+    script = tmp_path / "scrm"
+    body = "".join(f"print({line!r})\n" for line in body_lines)
+    script.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        'print(" ".join(sys.argv))\n' + body + f"sys.exit({exit_code})\n"
+    )
+    script.chmod(0o755)
+    return script
+
+
+_SCRM_BODY = [
+    "1234 5678 42",
+    "",
+    "//",
+    "position time",
+    "12.5 0.1 0 1",  # window 0: het, k=1
+    "130.0 0.2 1 1",  # fixed (k=n): no het, not in AFS
+    "942.0 0.3 1 0",  # window 9: het, k=1
+    "SFS: 2 0",
+]
+
+
+def test_simulate_scrm_subprocess_end_to_end(tmp_path, monkeypatch):
+    from phlash_tpu.sim import simulate_scrm
+
+    calls = _install_fake_demes(monkeypatch)
+    monkeypatch.setenv("SCRM_PATH", str(_write_fake_scrm(tmp_path, _SCRM_BODY)))
+    model, chrom = _fake_stdpopsim_pair(L=1000)
+    contig = simulate_scrm(model, chrom, {"pop0": 1}, N0=1e4, seed=7)
+    # demography rendered once, with 2 haplotypes routed to the right deme
+    assert calls == [{"graph": model.model.to_demes(), "N0": 1e4, "samples": [2]}]
+    assert contig.het_matrix.shape == (1, 10)
+    want = np.zeros(10, int)
+    want[0] = want[9] = 1
+    np.testing.assert_array_equal(contig.het_matrix[0], want)
+    np.testing.assert_array_equal(contig.afs, [2])
+
+
+def test_simulate_scrm_nonzero_exit_raises(tmp_path, monkeypatch):
+    from phlash_tpu.sim import simulate_scrm
+
+    _install_fake_demes(monkeypatch)
+    monkeypatch.setenv(
+        "SCRM_PATH", str(_write_fake_scrm(tmp_path, _SCRM_BODY, exit_code=3))
+    )
+    model, chrom = _fake_stdpopsim_pair(L=1000)
+    with pytest.raises(RuntimeError, match="status 3"):
+        simulate_scrm(model, chrom, {"pop0": 1}, N0=1e4, seed=7)
+
+
+def test_build_scrm_command_windowed_approximation(monkeypatch):
+    "Very large samples get scrm's -l 100r window approximation (ref :229-233)."
+    from phlash_tpu.sim import build_scrm_command
+
+    _install_fake_demes(monkeypatch, ms_flags="-eN 0.5 2.0")
+    graph = object()
+    argv = build_scrm_command(graph, [300], N0=1e4, theta=0.4, rho=0.4, L=1000, seed=1)
+    assert argv[1:3] == ["300", "1"]
+    assert "-eN" in argv and "--transpose-segsites" in argv
+    assert argv[argv.index("-l") + 1] == "100r"
+    small = build_scrm_command(graph, [2], N0=1e4, theta=0.4, rho=0.4, L=1000, seed=1)
+    assert "-l" not in small
+
+
+# -- stdpopsim catalog harness via a duck-typed stdpopsim (package absent) ----
+#
+# stdpopsim_dataset's own logic — chromosome filtering, the 4*N0*r*L engine
+# switch, scrm-failure fallback, sample routing, truth construction — is all
+# executable without the real package; only `engine.simulate` and the
+# demography debugger are external.  (Reference sim.py:28-102.)
+
+
+class _FakeDebugger:
+    epoch_start_time = np.array([0.0, 100.0])
+    mean_coal_calls = 0
+
+    def mean_coalescence_time(self, lineages):
+        assert lineages == {"pop0": 2}
+        _FakeDebugger.mean_coal_calls += 1
+        return 2.0e4  # -> N0 = 1e4
+
+    def coalescence_rate_trajectory(self, t, lineages):
+        assert lineages == {"pop0": 2}
+        return np.full(len(t), 5e-5), None
+
+
+def _install_fake_stdpopsim(monkeypatch, lengths: dict):
+    """A stdpopsim stand-in with chromosomes of the given {id: length}.
+
+    Returns the (model, simulate_log) pair for assertions."""
+    import sys
+    import types
+    from types import SimpleNamespace
+
+    from test_data import _FakeTS
+
+    graph = SimpleNamespace(demes=[SimpleNamespace(name="pop0")])
+    demography = SimpleNamespace(debug=_FakeDebugger, to_demes=lambda: graph)
+    model = SimpleNamespace(
+        model=demography, populations=[SimpleNamespace(name="pop0")]
+    )
+    chroms = [
+        SimpleNamespace(
+            id=cid, ploidy=2, recombination_rate=1e-8, mutation_rate=1.3e-8
+        )
+        for cid in lengths
+    ] + [
+        # must be filtered out: non-numeric id; non-diploid; non-recombining
+        SimpleNamespace(id="X", ploidy=2, recombination_rate=1e-8, mutation_rate=1.3e-8),
+        SimpleNamespace(id="9", ploidy=1, recombination_rate=1e-8, mutation_rate=1.3e-8),
+        SimpleNamespace(id="8", ploidy=2, recombination_rate=0.0, mutation_rate=1.3e-8),
+    ]
+
+    def get_contig(cid, mutation_rate, length_multiplier):
+        L = lengths[cid] * length_multiplier
+        return SimpleNamespace(
+            interval_list=[np.array([[0.0, L]])],
+            recombination_map=SimpleNamespace(rate=np.array([1e-8])),
+            mutation_rate=mutation_rate,
+        )
+
+    species = SimpleNamespace(
+        genome=SimpleNamespace(chromosomes=chroms),
+        get_contig=get_contig,
+        get_demographic_model=lambda mid: model,
+    )
+    simulate_log = []
+
+    def simulate(mdl, spec, samples, seed):
+        assert mdl is model and samples == {"pop0": 1}
+        L = int(spec.interval_list[0][0, 1])
+        simulate_log.append((L, seed))
+        rng = np.random.default_rng(seed)
+        pos = np.sort(rng.choice(np.arange(1, L), size=10, replace=False))
+        return _FakeTS(L, pos, rng.integers(0, 2, size=(10, 2)))
+
+    fake = types.ModuleType("stdpopsim")
+    fake.get_species = lambda sid: species
+    fake.get_engine = lambda name: SimpleNamespace(simulate=simulate)
+    monkeypatch.setitem(sys.modules, "stdpopsim", fake)
+    return model, simulate_log
+
+
+def test_stdpopsim_dataset_engine_switch(tmp_path, monkeypatch):
+    """Chromosome 1 (4*N0*r*L = 1.2e5 > 1e5) goes to scrm; chromosome 2
+    (4e2) to msprime; X / haploid / non-recombining ids are filtered."""
+    from phlash_tpu.data import RawContig, TreeSequenceContig
+    from phlash_tpu.sim import stdpopsim_dataset
+
+    _FakeDebugger.mean_coal_calls = 0
+    _install_fake_demes(monkeypatch)
+    monkeypatch.setenv("SCRM_PATH", str(_write_fake_scrm(tmp_path, _SCRM_BODY)))
+    model, sim_log = _install_fake_stdpopsim(
+        monkeypatch, {"1": 300_000_000, "2": 1_000_000}
+    )
+    out = stdpopsim_dataset("FakeSap", "SomeModel_1X00", {"pop0": 1}, seed=5)
+    assert set(out["data"]) == {"1", "2"}
+    assert isinstance(out["data"]["1"], RawContig)  # scrm tier
+    assert isinstance(out["data"]["2"], TreeSequenceContig)  # msprime tier
+    assert sim_log == [(1_000_000, 6)]  # seed + chromosome index
+    assert _FakeDebugger.mean_coal_calls == 1  # N0 computed once, reused
+    truth = out["truth"]
+    assert float(truth.theta) == 1.3e-8
+    np.testing.assert_allclose(np.asarray(truth.eta.c), 5e-5)
+    # the binned scrm contig is usable downstream
+    d = out["data"]["1"].get_data(window_size=100)
+    assert d["het_matrix"].shape[0] == 1
+
+
+def test_stdpopsim_dataset_scrm_failure_falls_back(tmp_path, monkeypatch, caplog):
+    from phlash_tpu.data import TreeSequenceContig
+    from phlash_tpu.sim import stdpopsim_dataset
+
+    _install_fake_demes(monkeypatch)
+    bad = _write_fake_scrm(tmp_path, ["not a transpose-segsites stream"])
+    monkeypatch.setenv("SCRM_PATH", str(bad))
+    _, sim_log = _install_fake_stdpopsim(monkeypatch, {"1": 300_000_000})
+    with caplog.at_level("WARNING", logger="phlash_tpu.sim"):
+        out = stdpopsim_dataset("FakeSap", "SomeModel_1X00", {"pop0": 1}, seed=5)
+    assert isinstance(out["data"]["1"], TreeSequenceContig)
+    assert sim_log == [(300_000_000, 5)]
+    assert any("using msprime" in r.message for r in caplog.records)
+
+
+def test_stdpopsim_dataset_forced_engine(monkeypatch):
+    "options={'engine': 'msprime'} skips the N0 computation entirely."
+    from phlash_tpu.sim import stdpopsim_dataset
+
+    _FakeDebugger.mean_coal_calls = 0
+    _, sim_log = _install_fake_stdpopsim(monkeypatch, {"1": 300_000_000})
+    out = stdpopsim_dataset(
+        "FakeSap", "SomeModel_1X00", {"pop0": 1}, seed=5,
+        options={"engine": "msprime"},
+    )
+    assert _FakeDebugger.mean_coal_calls == 0
+    assert sim_log == [(300_000_000, 5)]
+    assert set(out["data"]) == {"1"}
+
+
 # -- continuous-time SMC' simulator (the non-circular validation source) -----
 
 
