@@ -316,12 +316,18 @@ def _iter_vcf_pysam(path: str, contig: str, start: int, end: int, samples: list[
     Yields the same {'pos', 'het', 'nd'} records as the text parser: a call
     is het when its two alleles differ, missing (-1) when either allele is
     absent, and every non-reference allele counts toward nd.
+
+    `start`/`end` are 1-based inclusive (the convention shared by
+    _iter_vcf_text and io.bcf.iter_bcf); pysam's fetch() takes 0-based
+    half-open coordinates, so the window is shifted by one here — passing
+    `start` through unshifted would silently drop a record sitting exactly
+    on the left edge of the region.
     """
     import pysam
 
     with pysam.VariantFile(path) as vf:
         vf.subset_samples(samples)
-        for rec in vf.fetch(contig=contig, start=start, stop=end):
+        for rec in vf.fetch(contig=contig, start=start - 1, stop=end):
             calls = [tuple(rec.samples[s]["GT"] or ()) for s in samples]
             het = np.array(
                 [

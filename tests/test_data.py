@@ -129,6 +129,98 @@ def test_vcf_streaming_blocks(tmp_path, monkeypatch, gz):
     assert big["het_matrix"].any() and big["afs"].sum() == 4000
 
 
+# -- pysam-backed record iteration via a fake pysam module -------------------
+#
+# pysam is absent in this environment, so the indexed-fetch backend is
+# exercised with a stand-in that implements pysam's actual coordinate
+# contract: VariantFile.fetch(start=, stop=) is 0-based half-open while
+# records expose 1-based .pos — exactly the convention mismatch that the
+# shared 1-based-inclusive _records(start, end) interface has to absorb.
+
+_FAKE_VCF_RECORDS = [
+    # (contig, pos, {sample: GT tuple}) — mirrors VCF_TEXT above
+    ("chr1", 10, {"sampleA": (0, 1), "sampleB": (0, 0)}),
+    ("chr1", 150, {"sampleA": (1, 1), "sampleB": (0, 1)}),
+    ("chr1", 151, {"sampleA": (0, 1), "sampleB": (None, None)}),
+    ("chr1", 400, {"sampleA": (0, 0), "sampleB": (1, 1)}),
+]
+
+
+def _install_fake_pysam(monkeypatch, records=_FAKE_VCF_RECORDS):
+    import sys
+    import types
+    from types import SimpleNamespace
+
+    fetch_log = []
+
+    class VariantFile:
+        def __init__(self, path):
+            self._samples = sorted({s for _, _, g in records for s in g})
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def subset_samples(self, samples):
+            missing = set(samples) - set(self._samples)
+            if missing:
+                raise ValueError(f"unknown samples {missing}")
+            self._samples = list(samples)
+
+        def fetch(self, contig=None, start=None, stop=None):
+            fetch_log.append((contig, start, stop))
+            for chrom, pos, gts in records:
+                # real pysam: yield records overlapping [start, stop) in
+                # 0-based coordinates; a SNP at 1-based pos occupies 0-based
+                # [pos-1, pos)
+                if chrom == contig and start <= pos - 1 < stop:
+                    yield SimpleNamespace(
+                        pos=pos,
+                        samples={s: {"GT": gts[s]} for s in self._samples},
+                    )
+
+    fake = types.ModuleType("pysam")
+    fake.VariantFile = VariantFile
+    monkeypatch.setitem(sys.modules, "pysam", fake)
+    return fetch_log
+
+
+def test_iter_vcf_pysam_matches_text_parser(tmp_path, monkeypatch):
+    "Same records, het/nd/missing semantics, and region edges as the text path."
+    from phlash_tpu.data import _iter_vcf_pysam, _iter_vcf_text
+
+    p = tmp_path / "t.vcf"
+    p.write_text(VCF_TEXT)
+    samples = ["sampleA", "sampleB"]
+    _install_fake_pysam(monkeypatch)
+    for region in [(1, 1000), (10, 150), (11, 149), (151, 400)]:
+        text = list(_iter_vcf_text(str(p), "chr1", *region, samples))
+        via_pysam = list(_iter_vcf_pysam("t.bcf", "chr1", *region, samples))
+        assert [r["pos"] for r in via_pysam] == [r["pos"] for r in text], region
+        for a, b in zip(via_pysam, text):
+            np.testing.assert_array_equal(a["het"], b["het"])
+            assert a["nd"] == b["nd"]
+
+
+def test_vcf_contig_prefers_pysam(monkeypatch):
+    "With pysam importable, .bcf get_data routes through the indexed fetch."
+    fetch_log = _install_fake_pysam(monkeypatch)
+    c = VcfContig(
+        "t.bcf", samples=["sampleA", "sampleB"], contig="chr1",
+        interval=(1, 1000),
+    )
+    d = c.get_data(window_size=100)
+    assert fetch_log == [("chr1", 0, 1000)]
+    # identical to the text-parser result asserted in test_vcf_parser
+    H = d["het_matrix"]
+    assert H[0, 0] == 1 and H[1, 0] == 0
+    assert H[0, 1] == 1 and H[1, 1] == 1
+    assert H[0, 3] == 0 and H[1, 3] == 0
+    assert d["afs"].sum() == 4
+
+
 def test_vcf_requires_region(tmp_path):
     p = tmp_path / "t.vcf"
     p.write_text(VCF_TEXT)
