@@ -118,3 +118,81 @@ def test_from_pmf_roundtrip():
     eta = SizeHistory(t=t, c=np.array([0.8, 1.6, 0.4, 1.0]))
     eta2 = SizeHistory.from_pmf(t, np.asarray(eta.pi))
     np.testing.assert_allclose(np.asarray(eta2.c[:-1]), np.asarray(eta.c[:-1]), rtol=1e-6)
+
+
+# -- demes/msprime interop via fake modules (optional deps absent here) ------
+#
+# These exercise the gated import paths' own logic — the epoch ordering and
+# piecewise-constant extraction — against stand-ins implementing just the
+# slice of the external API each method touches.
+
+
+def test_to_demes_epoch_layout(monkeypatch):
+    import sys
+    import types
+
+    fake = types.ModuleType("demes")
+
+    class Builder:
+        def __init__(self):
+            self.demes = []
+
+        def add_deme(self, name, epochs):
+            self.demes.append((name, epochs))
+
+        def resolve(self):
+            return self
+
+    fake.Builder = Builder
+    monkeypatch.setitem(sys.modules, "demes", fake)
+
+    eta = SizeHistory(t=np.array([0.0, 1.0, 3.0]), c=np.array([0.5, 2.0, 1.0]))
+    g = eta.to_demes("pop")
+    ((name, epochs),) = g.demes
+    assert name == "pop"
+    # demes orders epochs oldest-first with strictly decreasing end_time;
+    # epoch end_time == our interval start, size constant per interval
+    assert [e["end_time"] for e in epochs] == [3.0, 1.0, 0.0]
+    np.testing.assert_allclose(
+        [e["start_size"] for e in epochs], np.asarray(eta.Ne)[::-1]
+    )
+    assert all(
+        e["end_size"] == e["start_size"]
+        and e["size_function"] == "constant"
+        for e in epochs
+    )
+
+
+def test_from_demography_piecewise_extraction(monkeypatch):
+    import sys
+    import types
+
+    fake = types.ModuleType("msprime")
+
+    class Demography:
+        pass
+
+    fake.Demography = Demography
+    monkeypatch.setitem(sys.modules, "msprime", fake)
+
+    class _Dbg:
+        epoch_start_time = np.array([0.0, 2.0, 5.0])
+
+        def population_size_trajectory(self, steps):
+            Ne = np.where(steps < 2, 100.0, np.where(steps < 5, 300.0, 200.0))
+            return Ne[:, None]
+
+    demo = Demography()
+    demo.num_populations = 1
+    demo.debug = _Dbg
+    eta = SizeHistory.from_demography(demo)
+    # only the change points of the step trajectory survive
+    np.testing.assert_array_equal(np.asarray(eta.t), [0.0, 2.0, 5.0])
+    np.testing.assert_allclose(
+        np.asarray(eta.c), 1.0 / (2.0 * np.array([100.0, 300.0, 200.0]))
+    )
+
+    multi = Demography()
+    multi.num_populations = 2
+    with pytest.raises(ValueError, match="single-population"):
+        SizeHistory.from_demography(multi)
