@@ -303,11 +303,6 @@ def _read_typed_int(buf: memoryview, at: int) -> tuple[int, int]:
     raise ValueError(f"typed int with atom type {atom}")
 
 
-def _skip_typed(buf: memoryview, at: int) -> int:
-    atom, count, at = _read_typed_meta(buf, at)
-    return at + count * (_TYPE_SIZE[atom] if count else 0)
-
-
 # ---------------------------------------------------------------------------
 # reading
 # ---------------------------------------------------------------------------
