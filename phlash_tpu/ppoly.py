@@ -40,7 +40,12 @@ class PPoly(NamedTuple):
         # value of each integrated piece at its right endpoint gives the
         # constant offset carried into the next piece
         piece_vals = jnp.polyval(ci[:, :-1], jnp.diff(self.x)[:-1])
-        offsets = jnp.cumsum(jnp.concatenate([jnp.zeros(1), piece_vals]))
+        # dtype-pinned zero: under the global x64 policy a bare jnp.zeros is
+        # float64, which would silently promote an f32 polynomial (and f64
+        # is software-emulated on TPU)
+        offsets = jnp.cumsum(
+            jnp.concatenate([jnp.zeros(1, piece_vals.dtype), piece_vals])
+        )
         return PPoly(x=self.x, c=jnp.concatenate([ci[:-1], offsets[None]]))
 
     def derivative(self) -> "PPoly":
@@ -59,8 +64,11 @@ class PPoly(NamedTuple):
         assert self.c.ndim == 2 and self.c.shape[0] == 1, "piecewise constant only"
         rate = self.c[0]
         dt = jnp.diff(self.x)[:-1]
-        # cumulative hazard at each left breakpoint
-        haz = jnp.concatenate([jnp.zeros(1), jnp.cumsum(rate[:-1] * dt)])
+        # cumulative hazard at each left breakpoint (zero dtype-pinned: a
+        # bare jnp.zeros is f64 under x64 and would promote the whole
+        # integral — and with it the AFS term's per-particle graph — to
+        # software-emulated f64 on TPU; measured at ~8 ms of a ~17 ms step)
+        haz = jnp.concatenate([jnp.zeros(1, rate.dtype), jnp.cumsum(rate[:-1] * dt)])
         # integral over each finite epoch + the final (half-open) epoch
         per_epoch = jnp.concatenate(
             [

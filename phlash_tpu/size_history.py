@@ -143,15 +143,33 @@ class SizeHistory(NamedTuple):
     def etjj(self, n: int):
         """E[time while exactly j lineages remain], j = 2..n, for sample size n.
 
-        Obtained by rescaling the rate by binom(j, 2) and integrating the
-        survival function.
+        Equals the integrated survival function with the rate rescaled by
+        binom(j, 2).  All j share the unit-multiplier cumulative hazard, so
+        the whole family is one (n-1, K) broadcast of the closed-form
+        per-epoch exponential integral — per epoch k at rate m·c_k over
+        width dt_k, starting from hazard m·H_k:
+
+            exp(-m H_k) · (1 - exp(-m c_k dt_k)) / (m c_k),
+
+        with the final (open) epoch contributing exp(-m H_last)/(m c_last).
+        (The earlier per-j vmap over .mu built n-1 separate
+        PPoly/exp_integral graphs; their tiny-op overhead dominated the
+        whole SVGD step's AFS term on TPU — see tools/step_profile.py.)
         """
-
-        @vmap
-        def one(j):
-            return SizeHistory(t=self.t, c=j * (j - 1) / 2.0 * self.c).mu
-
-        return one(jnp.arange(2, n + 1))
+        dt = jnp.diff(self.t)  # (K-1,) finite epochs
+        haz = jnp.concatenate(
+            [jnp.zeros(1, self.c.dtype), jnp.cumsum(self.c[:-1] * dt)]
+        )  # (K,) unit-multiplier hazard at each left breakpoint
+        j = jnp.arange(2, n + 1)
+        m = (j * (j - 1) // 2).astype(self.c.dtype)  # (n-1,) exact in f32
+        mh = m[:, None] * haz[None, :]  # (n-1, K)
+        finite = (
+            aexp(-mh[:, :-1])
+            * -aexpm1(-m[:, None] * (self.c[:-1] * dt)[None, :])
+            / (m[:, None] * self.c[None, :-1])
+        )
+        last = aexp(-mh[:, -1]) / (m * self.c[-1])
+        return finite.sum(1) + last
 
     def etbl(self, n: int):
         """Expected total branch length subtending b = 1..n-1 leaves.

@@ -196,3 +196,29 @@ def test_from_demography_piecewise_extraction(monkeypatch):
     multi.num_populations = 2
     with pytest.raises(ValueError, match="single-population"):
         SizeHistory.from_demography(multi)
+
+
+def test_afs_moments_dtype_preserved():
+    "etjj/etbl/mu must not promote an f32 history to f64 (TPU perf hazard)."
+    import jax.numpy as jnp
+
+    for dt in [jnp.float32, jnp.float64]:
+        eta = SizeHistory(
+            t=jnp.asarray(np.r_[0.0, np.geomspace(1e-3, 15.0, 15)], dt),
+            c=jnp.ones(16, dt),
+        )
+        assert eta.mu.dtype == dt
+        assert eta.etjj(10).dtype == dt
+        assert eta.etbl(10).dtype == dt
+
+
+def test_etjj_matches_mu_path(eta):
+    "The broadcast etjj equals integrating each rescaled history's .mu."
+    import jax.numpy as jnp
+
+    n = 8
+    want = np.array(
+        [float(SizeHistory(t=eta.t, c=j * (j - 1) / 2.0 * eta.c).mu)
+         for j in range(2, n + 1)]
+    )
+    np.testing.assert_allclose(np.asarray(eta.etjj(n)), want, rtol=1e-8)
