@@ -266,15 +266,17 @@ def _install_fake_stdpopsim(monkeypatch, lengths: dict):
     model = SimpleNamespace(
         model=demography, populations=[SimpleNamespace(name="pop0")]
     )
+    # r = 1e-6 (100x human) keeps the 4*N0*r*L scrm threshold reachable
+    # with Mb-scale test chromosomes instead of 100-Mb ones
     chroms = [
         SimpleNamespace(
-            id=cid, ploidy=2, recombination_rate=1e-8, mutation_rate=1.3e-8
+            id=cid, ploidy=2, recombination_rate=1e-6, mutation_rate=1.3e-8
         )
         for cid in lengths
     ] + [
         # must be filtered out: non-numeric id; non-diploid; non-recombining
-        SimpleNamespace(id="X", ploidy=2, recombination_rate=1e-8, mutation_rate=1.3e-8),
-        SimpleNamespace(id="9", ploidy=1, recombination_rate=1e-8, mutation_rate=1.3e-8),
+        SimpleNamespace(id="X", ploidy=2, recombination_rate=1e-6, mutation_rate=1.3e-8),
+        SimpleNamespace(id="9", ploidy=1, recombination_rate=1e-6, mutation_rate=1.3e-8),
         SimpleNamespace(id="8", ploidy=2, recombination_rate=0.0, mutation_rate=1.3e-8),
     ]
 
@@ -282,7 +284,7 @@ def _install_fake_stdpopsim(monkeypatch, lengths: dict):
         L = lengths[cid] * length_multiplier
         return SimpleNamespace(
             interval_list=[np.array([[0.0, L]])],
-            recombination_map=SimpleNamespace(rate=np.array([1e-8])),
+            recombination_map=SimpleNamespace(rate=np.array([1e-6])),
             mutation_rate=mutation_rate,
         )
 
@@ -310,7 +312,7 @@ def _install_fake_stdpopsim(monkeypatch, lengths: dict):
 
 def test_stdpopsim_dataset_engine_switch(tmp_path, monkeypatch):
     """Chromosome 1 (4*N0*r*L = 1.2e5 > 1e5) goes to scrm; chromosome 2
-    (4e2) to msprime; X / haploid / non-recombining ids are filtered."""
+    (4e3) to msprime; X / haploid / non-recombining ids are filtered."""
     from phlash_tpu.data import RawContig, TreeSequenceContig
     from phlash_tpu.sim import stdpopsim_dataset
 
@@ -318,13 +320,13 @@ def test_stdpopsim_dataset_engine_switch(tmp_path, monkeypatch):
     _install_fake_demes(monkeypatch)
     monkeypatch.setenv("SCRM_PATH", str(_write_fake_scrm(tmp_path, _SCRM_BODY)))
     model, sim_log = _install_fake_stdpopsim(
-        monkeypatch, {"1": 300_000_000, "2": 1_000_000}
+        monkeypatch, {"1": 3_000_000, "2": 100_000}
     )
     out = stdpopsim_dataset("FakeSap", "SomeModel_1X00", {"pop0": 1}, seed=5)
     assert set(out["data"]) == {"1", "2"}
     assert isinstance(out["data"]["1"], RawContig)  # scrm tier
     assert isinstance(out["data"]["2"], TreeSequenceContig)  # msprime tier
-    assert sim_log == [(1_000_000, 6)]  # seed + chromosome index
+    assert sim_log == [(100_000, 6)]  # seed + chromosome index
     assert _FakeDebugger.mean_coal_calls == 1  # N0 computed once, reused
     truth = out["truth"]
     assert float(truth.theta) == 1.3e-8
@@ -341,11 +343,11 @@ def test_stdpopsim_dataset_scrm_failure_falls_back(tmp_path, monkeypatch, caplog
     _install_fake_demes(monkeypatch)
     bad = _write_fake_scrm(tmp_path, ["not a transpose-segsites stream"])
     monkeypatch.setenv("SCRM_PATH", str(bad))
-    _, sim_log = _install_fake_stdpopsim(monkeypatch, {"1": 300_000_000})
+    _, sim_log = _install_fake_stdpopsim(monkeypatch, {"1": 3_000_000})
     with caplog.at_level("WARNING", logger="phlash_tpu.sim"):
         out = stdpopsim_dataset("FakeSap", "SomeModel_1X00", {"pop0": 1}, seed=5)
     assert isinstance(out["data"]["1"], TreeSequenceContig)
-    assert sim_log == [(300_000_000, 5)]
+    assert sim_log == [(3_000_000, 5)]
     assert any("using msprime" in r.message for r in caplog.records)
 
 
@@ -354,13 +356,13 @@ def test_stdpopsim_dataset_forced_engine(monkeypatch):
     from phlash_tpu.sim import stdpopsim_dataset
 
     _FakeDebugger.mean_coal_calls = 0
-    _, sim_log = _install_fake_stdpopsim(monkeypatch, {"1": 300_000_000})
+    _, sim_log = _install_fake_stdpopsim(monkeypatch, {"1": 3_000_000})
     out = stdpopsim_dataset(
         "FakeSap", "SomeModel_1X00", {"pop0": 1}, seed=5,
         options={"engine": "msprime"},
     )
     assert _FakeDebugger.mean_coal_calls == 0
-    assert sim_log == [(300_000_000, 5)]
+    assert sim_log == [(3_000_000, 5)]
     assert set(out["data"]) == {"1"}
 
 
