@@ -35,7 +35,9 @@ def log_prior(mcp: MCMCParams) -> jax.Array:
     lp = jax.scipy.stats.norm.logpdf(alog(mcp.rho_over_theta)).sum()
     lp -= mcp.alpha * jnp.sum(jnp.diff(mcp.log_c) ** 2)
     flat, _ = jax.flatten_util.ravel_pytree(mcp)
-    lp -= mcp.beta * flat @ flat
+    # sum-of-squares, not flat @ flat: a 19-element dot per particle lowers
+    # to a latency-bound tiny MXU pass under vmap
+    lp -= mcp.beta * jnp.sum(flat * flat)
     return lp
 
 
@@ -77,11 +79,12 @@ def log_density(
         assert T.ndim == 2 and T.shape[1] == n - 1
         etbl = dm.eta.etbl(n)
         esfs = (etbl / etbl.sum()).astype(jnp.float32)
-        l_afs = xlogy(mm(T, afs.astype(jnp.float32)), mm(T, esfs)).sum()
+        # elementwise form of T @ esfs — see log_density_batched's note
+        l_afs = xlogy(mm(T, afs.astype(jnp.float32)), (T * esfs).sum(-1)).sum()
     else:
         l_afs = 0.0
 
-    total = jnp.dot(c, jnp.array([l_prior, l_hmm, l_afs]))
+    total = c[0] * l_prior + c[1] * l_hmm + c[2] * l_afs
     return jnp.where(jnp.isfinite(total), total, -jnp.inf)
 
 
@@ -123,12 +126,16 @@ def log_density_batched(
         n = len(afs) + 1
         T = jnp.eye(n - 1, dtype=jnp.float32) if afs_transform is None else afs_transform
         T = T.astype(jnp.float32)
-        afs32 = afs.astype(jnp.float32)
+        T_afs = mm(T, afs.astype(jnp.float32))  # constant across particles
 
         def one_afs(dm):
             etbl = dm.eta.etbl(n)
             esfs = (etbl / etbl.sum()).astype(jnp.float32)
-            return xlogy(mm(T, afs32), mm(T, esfs)).sum()
+            # T @ esfs as an elementwise product + reduce: exactly-rounded
+            # f32 (same accuracy as the HIGHEST-precision matmul) and it
+            # stays on the VPU — a per-particle batched dot_general this
+            # small lowers to latency-bound MXU passes
+            return xlogy(T_afs, (T * esfs).sum(-1)).sum()
 
         l_afs = jax.vmap(one_afs)(dms)
     else:
