@@ -436,3 +436,38 @@ def test_mask_to_bool():
     # mask beyond L clips
     got2 = _mask_to_bool([(950, 2000)], 1000, 100)
     np.testing.assert_array_equal(np.flatnonzero(got2), [9])
+
+
+def test_vcf_ts_consistency(fake_ts, tmp_path):
+    """The VCF and tree-sequence parsers agree on the same underlying data
+    (cf. reference tests/test_data.py::test_equal_ts_vcf, which round-trips
+    through ts.write_vcf — here the VCF text is written directly from the
+    fake ts, so the check needs no tskit)."""
+    from phlash_tpu.data import TreeSequenceContig
+
+    samples = ["sA", "sB", "sC"]
+    lines = [
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=chr1,length=1000>",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + "\t".join(samples),
+    ]
+    for p, row in zip(fake_ts._pos, fake_ts._g):
+        gts = "\t".join(f"{row[2*i]}/{row[2*i+1]}" for i in range(3))
+        # tskit coordinates are 0-based; VCF is 1-based (as write_vcf emits)
+        lines.append(f"chr1\t{int(p)+1}\t.\tA\tT\t.\tPASS\t.\tGT\t{gts}")
+    path = tmp_path / "ts.vcf"
+    path.write_text("\n".join(lines) + "\n")
+
+    d_vcf = contig(str(path), samples=samples, region="chr1:1-1000").get_data(100)
+    d_ts = TreeSequenceContig(fake_ts).get_data(100)
+    # the ts path counts het sites per window, the VCF path ORs them;
+    # presence/absence must agree exactly
+    np.testing.assert_array_equal(d_vcf["het_matrix"] > 0, d_ts["het_matrix"] > 0)
+    np.testing.assert_array_equal(d_vcf["afs"], d_ts["afs"])
+
+
+def test_vcf_requires_samples(tmp_path):
+    p = tmp_path / "t.vcf"
+    p.write_text(VCF_TEXT)
+    with pytest.raises(ValueError, match="samples"):
+        VcfContig(str(p), samples=[], contig="chr1", interval=(1, 1000))

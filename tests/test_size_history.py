@@ -222,3 +222,54 @@ def test_etjj_matches_mu_path(eta):
          for j in range(2, n + 1)]
     )
     np.testing.assert_allclose(np.asarray(eta.etjj(n)), want, rtol=1e-8)
+
+
+REF_TV_BUG = "/root/reference/tests/fixtures/tv_bug.pkl"
+
+
+@pytest.mark.slow  # the 101-breakpoint quadrature cross-check takes ~1 min
+@pytest.mark.skipif(not __import__("os").path.exists(REF_TV_BUG),
+                    reason="reference fixture not present")
+def test_tv_bug_regression():
+    """The reference's pickled tv() bug case: symmetry, bounds, quadrature.
+
+    (cf. reference tests/test_size_history.py::test_tv_bug; the pickle is
+    unpickled through a shim so the reference package itself is never
+    imported — only the two (t, c) arrays are read.)
+    """
+    import importlib
+    import pickle
+
+    class _Shim:
+        def __new__(cls, *args):
+            obj = super().__new__(cls)
+            obj.t, obj.c = args
+            return obj
+
+        def __setstate__(self, state):
+            pass
+
+    class _U(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.startswith("phlash"):
+                assert name == "SizeHistory"
+                return _Shim
+            return getattr(importlib.import_module(module), name)
+
+    with open(REF_TV_BUG, "rb") as f:
+        s1, s2 = _U(f).load()
+    eta1 = SizeHistory(t=np.asarray(s1.t), c=np.asarray(s1.c))
+    eta2 = SizeHistory(t=np.asarray(s2.t), c=np.asarray(s2.c))
+    tv12, tv21 = float(eta1.tv(eta2)), float(eta2.tv(eta1))
+    np.testing.assert_allclose(tv12, tv21, rtol=1e-10)
+    assert 0.0 <= tv12 <= 1.0
+    # quadrature cross-check of the closed-form piecewise integral
+    d1, d2 = eta1.density(), eta2.density()
+    t = sorted({float(x) for eta in (eta1, eta2) for x in eta.t})
+    f = lambda x: 0.5 * abs(float(d1(x)) - float(d2(x)))  # noqa: E731
+    I1, _ = scipy.integrate.quad(f, 0.0, t[-1], points=t[1:-1], limit=2 * len(t))
+    t_max = 2 * t[-1]
+    while f(t_max) > 1e-20:
+        t_max *= 2
+    I2, _ = scipy.integrate.quad(f, t[-1], t_max)
+    np.testing.assert_allclose(tv12, I1 + I2, rtol=1e-6)

@@ -62,3 +62,44 @@ def test_invert_cpwli():
     Rinv = invert_cpwli(R)
     for t in [0.2, 0.9, 1.5, 4.0]:
         np.testing.assert_allclose(Rinv(R(t)), t, rtol=1e-12)
+
+
+def test_expm1inv():
+    "1/expm1(x) for moderate x; no overflow for large x (ref util.py)."
+    from phlash_tpu.utils import expm1inv
+
+    x = np.array([1e-3, 0.5, 5.0, 9.9, 10.1, 50.0, 700.0])
+    np.testing.assert_allclose(
+        np.asarray(expm1inv(jnp.asarray(x))), 1.0 / np.expm1(x), rtol=1e-12
+    )
+    import jax
+
+    g = jax.grad(lambda v: expm1inv(v))(700.0)
+    assert np.isfinite(g)
+
+
+def test_texp_mean_quadrature():
+    "Truncated-exponential mean vs quadrature, across the branch boundary."
+    import scipy.integrate
+
+    from phlash_tpu.utils import texp_mean
+
+    for r in [1e-8, 0.05, 0.0999, 0.1001, 1.0, 30.0]:
+        num, _ = scipy.integrate.quad(lambda u: u * r * np.exp(-r * u), 0, 1)
+        den = -np.expm1(-r)
+        np.testing.assert_allclose(
+            float(texp_mean(jnp.float64(r))), num / den, rtol=1e-7, err_msg=str(r)
+        )
+    # limits: uniform at 0, instant decay at infinity
+    np.testing.assert_allclose(float(texp_mean(jnp.float64(0.0))), 0.5)
+    assert float(texp_mean(jnp.float64(1e6))) < 1e-5
+
+
+def test_kahan_add():
+    from phlash_tpu.utils import kahan_add
+
+    s = (jnp.float32(0.0), jnp.float32(0.0))
+    for _ in range(10000):
+        s = kahan_add(s, jnp.float32(1e-4))
+    # naive f32 accumulation of 1e4 * 1e-4 drifts by ~1e-4; Kahan is exact
+    np.testing.assert_allclose(float(s[0]), 1.0, rtol=1e-7)
