@@ -82,19 +82,23 @@ def main():
 
     rows = {}
 
+    def record(name, value):
+        rows[name] = value
+        print(f"{name:28s} {value:8.2f} ms", flush=True)
+
     prog = build(chunks, afs, O, opts)
     step = jax.jit(prog.step)
-    rows["full"] = amortized_ms(step, prog.state, key)
+    record("full", amortized_ms(step, prog.state, key))
 
     prog2 = build(chunks, None, O, opts)
-    rows["-afs"] = amortized_ms(jax.jit(prog2.step), prog2.state, key)
+    record("-afs", amortized_ms(jax.jit(prog2.step), prog2.state, key))
 
     prog3 = build(chunks[:, O:], afs, 0, opts)
-    rows["-warmup"] = amortized_ms(jax.jit(prog3.step), prog3.state, key)
+    record("-warmup", amortized_ms(jax.jit(prog3.step), prog3.state, key))
 
     short = np.ascontiguousarray(chunks[:, : O + 64])
     prog4 = build(short, afs, O, opts)
-    rows["-sites (64-site chunks)"] = amortized_ms(jax.jit(prog4.step), prog4.state, key)
+    record("-sites (64-site chunks)", amortized_ms(jax.jit(prog4.step), prog4.state, key))
 
     # SVGD machinery alone: same particle cloud, constant gradient
     from phlash_tpu.svgd import SVGD
@@ -106,8 +110,9 @@ def main():
         batched_grad=True,
     )
     sstate = stub.init(prog.state.particles)
-    rows["svgd-only (stub grad)"] = amortized_ms(
-        jax.jit(lambda s: stub.step(s)), sstate
+    record(
+        "svgd-only (stub grad)",
+        amortized_ms(jax.jit(lambda s: stub.step(s)), sstate),
     )
 
     # isolated kernel fwd+grad at the same (B, S, L) shape
@@ -124,19 +129,18 @@ def main():
     kern_grad = jax.jit(
         jax.grad(lambda p: kern.loglik_batched(p, inds).sum())
     )
-    rows["kernel fwd+grad only"] = amortized_ms(kern_grad, pps_chunks)
+    record("kernel fwd+grad only", amortized_ms(kern_grad, pps_chunks))
 
     # assembly alone: to_dm + from_dm fwd+vjp over the cloud
     def assembly_loss(P):
         pp = jax.vmap(params.PSMCParams.from_dm)(jax.vmap(params.MCMCParams.to_dm)(P))
         return sum(jnp.sum(l) for l in jax.tree.leaves(pp))
 
-    rows["assembly fwd+grad only"] = amortized_ms(
-        jax.jit(jax.grad(assembly_loss)), prog.state.particles
+    record(
+        "assembly fwd+grad only",
+        amortized_ms(jax.jit(jax.grad(assembly_loss)), prog.state.particles),
     )
 
-    for k, v in rows.items():
-        print(f"{k:28s} {v:8.2f} ms")
     print(json.dumps({k: round(v, 2) for k, v in rows.items()}))
 
 
