@@ -136,7 +136,7 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
         def elpd(particles):
             return log_density_batched(
                 particles,
-                c=jnp.array([0.0, 1.0, 1.0]),
+                c=jnp.array([0.0, 1.0, 1.0], dtype=jnp.float32),
                 inds=jnp.arange(N_test),
                 # zero-width warmup: the model passes pi through untouched
                 # instead of launching a padded filter kernel over the

@@ -165,8 +165,11 @@ def build_training(
         seg_len=options.get("kernel_seg_len"),
     )
 
-    # unbiased minibatch gradients: HMM term scaled by N / S
-    weights = jnp.array([1.0, N / S, 1.0])
+    # unbiased minibatch gradients: HMM term scaled by N / S.  f32-pinned:
+    # a bare jnp.array of Python floats is f64 under x64 and upcasts the
+    # per-particle density combination (f32 * f64 promotes; f64 is
+    # software-emulated on TPU)
+    weights = jnp.array([1.0, N / S, 1.0], dtype=jnp.float32)
 
     def one_step(state: SVGDState, key: jax.Array) -> SVGDState:
         "Sample a minibatch and take one SVGD step — fully on device."
