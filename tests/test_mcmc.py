@@ -77,3 +77,33 @@ def test_fit_with_elpd_early_stopping():
     )
     assert len(res) == 8
     assert all(isinstance(r, DemographicModel) for r in res)
+
+
+@pytest.mark.slow  # two full (tiny) fits: one step-compile each
+def test_return_final_contract():
+    """With test_data, fit() returns the best-ELPD cloud by default and the
+    final iterate under return_final=True (the documented deviation from
+    the reference's return contract — see the fit() docstring)."""
+    import jax
+
+    mk = lambda seed: RawContig(  # noqa: E731
+        het_matrix=np.random.default_rng(seed).integers(0, 2, (1, 3000)).astype(np.int8),
+        afs=np.array([5, 2, 1]),
+        window_size=100,
+    )
+    kw = dict(
+        test_data=mk(1), niter=25, num_particles=8, overlap=16,
+        chunk_size=400, num_workers=1, progress=False,
+        kernel_backend="dense", elpd_cutoff=100, key=jax.random.PRNGKey(7),
+    )
+    best = fit([mk(0)], **kw)
+    final = fit([mk(0)], **kw, return_final=True)
+    assert len(best) == len(final) == 8
+    # the two runs are deterministic (same key), so the contracts differ
+    # iff they pick different iterates: the ELPD tracker only snapshots at
+    # its every-10th-step checks (i in {0, 10, 20}) while the final
+    # iterate is step 24, and SVGD particles move every step
+    b = np.stack([np.asarray(r.eta.c) for r in best])
+    f = np.stack([np.asarray(r.eta.c) for r in final])
+    assert b.shape == f.shape
+    assert not np.allclose(b, f)
