@@ -328,6 +328,12 @@ def _iter_vcf_pysam(path: str, contig: str, start: int, end: int, samples: list[
     with pysam.VariantFile(path) as vf:
         vf.subset_samples(samples)
         for rec in vf.fetch(contig=contig, start=start - 1, stop=end):
+            # fetch() returns records *overlapping* the window, so a
+            # multi-base record (deletion) starting before the region edge
+            # can appear; filter on the start position like the text and
+            # native-BCF backends do (a pos > end record cannot overlap)
+            if rec.pos < start:
+                continue
             calls = [tuple(rec.samples[s]["GT"] or ()) for s in samples]
             het = np.array(
                 [

@@ -126,6 +126,7 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
             double_precision=options.get("double_precision", False),
             backend=options.get("kernel_backend"),
             mesh=mesh,
+            seg_len=options.get("kernel_seg_len"),
         )
         test_T = None
         if test_afs is not None and prog.afs_transform is not None:

@@ -97,11 +97,14 @@ class SMCKernel:
     With `mesh=` the kernel is multi-chip: the chunk tensor is sharded over
     the mesh's chunk axis ("d", HBM capacity scaling), the minibatch gather
     produces a small replicated (S, L) tile, and the Pallas forward/adjoint
-    run under `shard_map` with the particle axis split over *all* mesh
-    devices — the TPU-native counterpart of the reference's per-GPU host
-    threads + replicated data (/root/reference/src/phlash/gpu.py:397-429),
-    except the heavy axis (particles, not chunk indices) is the one
-    distributed and no host synchronization exists at all.
+    run under `shard_map` over the *packed lane-tile axis*: all (particle x
+    chunk) instances are packed densely into 128-lane tiles (ops/packing)
+    and the tile axis — padded to a multiple of the device count — is what
+    splits across every mesh device, so lane occupancy stays ~full even
+    when B/n_devices < 128.  This is the TPU-native counterpart of the
+    reference's per-GPU host threads + replicated data
+    (/root/reference/src/phlash/gpu.py:397-429), except the heavy work axis
+    is the one distributed and no host synchronization exists at all.
     """
 
     def __init__(self, M_: int = None, data=None, double_precision: bool = False,

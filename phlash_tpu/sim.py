@@ -108,23 +108,36 @@ def simulate_dataset(
 # -- exact continuous-time SMC' simulator ------------------------------------
 
 
-def _inv_hazard(t_grid: np.ndarray, c: np.ndarray, t0: float, E: float) -> float:
-    """Solve int_{t0}^{h} c(s) ds = E for h, c piecewise constant on t_grid.
+def _inv_hazard(
+    t_grid: np.ndarray,
+    c: np.ndarray,
+    t0: float,
+    E: float,
+    mult: float = 1.0,
+    cap: float = np.inf,
+) -> float:
+    """Solve int_{t0}^{h} mult*c(s) ds = E for h, c piecewise constant.
 
     t_grid: (K,) epoch starts (t_grid[0] == 0), last epoch open.  Exact
     inversion of the piecewise-linear cumulative hazard; used for every
-    waiting-time draw in the continuous simulator.
+    waiting-time draw in the continuous simulator.  If the solution would
+    exceed `cap`, returns `cap` with the remaining hazard unspent (the
+    caller reads h >= cap as "escaped past the cap" — the below-TMRCA
+    re-coalescence draw).
     """
     k = int(np.searchsorted(t_grid, t0, side="right") - 1)
     h = t0
-    while True:
-        end = t_grid[k + 1] if k + 1 < len(t_grid) else np.inf
-        cap = (end - h) * c[k]
-        if E <= cap or not np.isfinite(end):
-            return h + E / c[k]
-        E -= cap
+    while h < cap:
+        end = min(t_grid[k + 1] if k + 1 < len(t_grid) else np.inf, cap)
+        rate = mult * c[k]
+        step = (end - h) * rate
+        if E <= step or not np.isfinite(end):
+            return min(h + E / rate, cap)
+        E -= step
         h = end
-        k += 1
+        if h < cap:
+            k += 1
+    return cap
 
 
 def simulate_smc_continuous(
@@ -200,18 +213,7 @@ def _segments_smc_continuous(dm, L, rng) -> tuple[np.ndarray, np.ndarray]:
         # detach a lineage at height Uniform(0, s); float it upward against
         # hazard 2c below s (two available partners), capping the draw at s
         u = rng.uniform(0.0, s)
-        k = int(np.searchsorted(t_grid, u, side="right") - 1)
-        h, E = u, rng.standard_exponential()
-        while h < s:
-            end = min(t_grid[k + 1] if k + 1 < len(t_grid) else np.inf, s)
-            cap = (end - h) * 2.0 * c[k]
-            if E <= cap:
-                h = h + E / (2.0 * c[k])
-                break
-            E -= cap
-            h = end
-            if h < s:
-                k += 1
+        h = _inv_hazard(t_grid, c, u, rng.standard_exponential(), mult=2.0, cap=s)
         if h < s:
             # coalesced below s: half the events rejoin the original branch
             # (invisible: TMRCA unchanged), half hit the other branch

@@ -139,13 +139,20 @@ def _log_impl(x):
     # the *int->float converted* magnitude/sign fields against 0.5
     # survives both: the converted values are ordinary normal floats and
     # the pattern is not an equality-with-zero the simplifier touches.
+    # The inf/NaN thresholds, however, must stay INTEGER comparisons: the
+    # int->float conversion rounds the 63 largest finite magnitudes
+    # (0x7F7FFFC1..0x7F7FFFFF, incl. FLT_MAX) up to float32(0x7F800000)
+    # and low-payload NaNs down to it, so a converted-float equality
+    # misclassifies both.  Equality with the exact inf bit pattern is not
+    # a compare-with-zero, so the simplifier hazard above does not apply.
     xi = jax.lax.bitcast_convert_type(x, jnp.int32)
-    mag_f = (xi & jnp.int32(0x7FFFFFFF)).astype(jnp.float32)
+    mag_i = xi & jnp.int32(0x7FFFFFFF)
+    mag_f = mag_i.astype(jnp.float32)
     sign_f = (jax.lax.shift_right_logical(xi, jnp.int32(31))).astype(jnp.float32)
     is_zero = mag_f < 0.5
     is_neg = (sign_f > 0.5) & ~is_zero
-    is_inf = mag_f == np.float32(0x7F800000)  # 255 * 2^23, f32-exact
-    is_nan = mag_f > np.float32(0x7F800000)
+    is_inf = mag_i == jnp.int32(0x7F800000)
+    is_nan = mag_i > jnp.int32(0x7F800000)
     val = jnp.where(is_inf, jnp.inf, val)
     val = jnp.where(is_zero, -jnp.inf, val)
     return jnp.where(is_neg | is_nan, jnp.nan, val)

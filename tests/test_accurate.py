@@ -78,6 +78,22 @@ def test_accurate_ieee_edges():
     assert si[0] < -90.0
 
 
+def test_accurate_log_near_inf_boundary():
+    """The 63 largest finite magnitudes (incl. FLT_MAX) must NOT classify
+    as inf, and low-payload NaNs must stay NaN: the int->float conversion
+    of the magnitude bits rounds both onto the 0x7F800000 inf threshold,
+    so the inf/NaN tests must be integer comparisons."""
+    fmax = np.float32(np.finfo(np.float32).max)
+    near = np.frombuffer(np.array([0x7F7FFFC1], np.int32).tobytes(), np.float32)[0]
+    lg = np.asarray(jax.jit(am.log)(jnp.asarray([fmax, near, -fmax], jnp.float32)))
+    assert np.isfinite(lg[0]) and np.allclose(lg[0], np.log(np.float64(fmax)), rtol=1e-6)
+    assert np.isfinite(lg[1]) and np.allclose(lg[1], np.log(np.float64(near)), rtol=1e-6)
+    assert np.isnan(lg[2])
+    # NaN with payload 1 (0x7F800001): still NaN, not +inf
+    nan1 = np.frombuffer(np.array([0x7F800001], np.int32).tobytes(), np.float32)[0]
+    assert np.isnan(np.asarray(jax.jit(am.log)(jnp.float32(nan1))))
+
+
 def test_accurate_f64_dispatches_native():
     x = jnp.asarray(XS, dtype=jnp.float64)
     np.testing.assert_array_equal(np.asarray(am.exp(x)), np.asarray(jnp.exp(x)))

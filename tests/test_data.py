@@ -138,11 +138,13 @@ def test_vcf_streaming_blocks(tmp_path, monkeypatch, gz):
 # shared 1-based-inclusive _records(start, end) interface has to absorb.
 
 _FAKE_VCF_RECORDS = [
-    # (contig, pos, {sample: GT tuple}) — mirrors VCF_TEXT above
-    ("chr1", 10, {"sampleA": (0, 1), "sampleB": (0, 0)}),
-    ("chr1", 150, {"sampleA": (1, 1), "sampleB": (0, 1)}),
-    ("chr1", 151, {"sampleA": (0, 1), "sampleB": (None, None)}),
-    ("chr1", 400, {"sampleA": (0, 0), "sampleB": (1, 1)}),
+    # (contig, pos, rlen, {sample: GT tuple}) — mirrors VCF_TEXT above;
+    # rlen is the REF allele length (pysam yields any record whose
+    # [pos-1, pos-1+rlen) footprint overlaps the fetch window)
+    ("chr1", 10, 1, {"sampleA": (0, 1), "sampleB": (0, 0)}),
+    ("chr1", 150, 1, {"sampleA": (1, 1), "sampleB": (0, 1)}),
+    ("chr1", 151, 1, {"sampleA": (0, 1), "sampleB": (None, None)}),
+    ("chr1", 400, 1, {"sampleA": (0, 0), "sampleB": (1, 1)}),
 ]
 
 
@@ -155,7 +157,7 @@ def _install_fake_pysam(monkeypatch, records=_FAKE_VCF_RECORDS):
 
     class VariantFile:
         def __init__(self, path):
-            self._samples = sorted({s for _, _, g in records for s in g})
+            self._samples = sorted({s for _, _, _, g in records for s in g})
 
         def __enter__(self):
             return self
@@ -171,11 +173,10 @@ def _install_fake_pysam(monkeypatch, records=_FAKE_VCF_RECORDS):
 
         def fetch(self, contig=None, start=None, stop=None):
             fetch_log.append((contig, start, stop))
-            for chrom, pos, gts in records:
-                # real pysam: yield records overlapping [start, stop) in
-                # 0-based coordinates; a SNP at 1-based pos occupies 0-based
-                # [pos-1, pos)
-                if chrom == contig and start <= pos - 1 < stop:
+            for chrom, pos, rlen, gts in records:
+                # real pysam: yield records whose 0-based REF footprint
+                # [pos-1, pos-1+rlen) overlaps [start, stop)
+                if chrom == contig and pos - 1 < stop and pos - 1 + rlen > start:
                     yield SimpleNamespace(
                         pos=pos,
                         samples={s: {"GT": gts[s]} for s in self._samples},
@@ -202,6 +203,22 @@ def test_iter_vcf_pysam_matches_text_parser(tmp_path, monkeypatch):
         for a, b in zip(via_pysam, text):
             np.testing.assert_array_equal(a["het"], b["het"])
             assert a["nd"] == b["nd"]
+
+
+def test_iter_vcf_pysam_filters_straddling_deletion(monkeypatch):
+    """A multi-base record starting before the region overlaps the fetch
+    window (pysam yields it) but must be excluded, like the other backends
+    exclude any pos < start."""
+    from phlash_tpu.data import _iter_vcf_pysam
+
+    records = [
+        ("chr1", 99, 3, {"sA": (0, 1)}),  # deletion straddling pos 100
+        ("chr1", 100, 1, {"sA": (0, 1)}),  # exactly on the left edge: kept
+        ("chr1", 150, 1, {"sA": (1, 1)}),
+    ]
+    _install_fake_pysam(monkeypatch, records)
+    got = list(_iter_vcf_pysam("t.bcf", "chr1", 100, 200, ["sA"]))
+    assert [r["pos"] for r in got] == [100, 150]
 
 
 def test_vcf_contig_prefers_pysam(monkeypatch):
