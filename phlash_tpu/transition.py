@@ -17,6 +17,8 @@ kernels (see phlash_tpu.params.PSMCParams):
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -169,12 +171,49 @@ def transition_matrix(dm: DemographicModel, n: int = 2) -> jax.Array:
     P2 = jnp.where(degenerate[:, None, None], eye2[None], P2)
     p02 = jnp.where(degenerate, 0.0, p02)
     p12 = jnp.where(degenerate, 0.0, p12)
-    # matmul_hi (precision pin): see utils/accurate.py — unpinned f32
-    # matmul is bf16 on TPU and corrupts this scan's VJP.
-    cum2 = jax.lax.associative_scan(
-        matmul_hi, jnp.concatenate([eye2[None], P2], axis=0)
-    )
-    a0, a1 = cum2[:, 0, 0], cum2[:, 0, 1]  # live occupancy entering interval k
+
+    if _os.environ.get("PHLASH_TPU_SCAN_MATMUL"):
+        # escape hatch: the original dot_general scan.  Slower on TPU
+        # (tiny batched 2x2 matmuls are latency-bound MXU passes) but kept
+        # selectable in case a compiler version mishandles the elementwise
+        # combine below.
+        cum2 = jax.lax.associative_scan(
+            matmul_hi, jnp.concatenate([eye2[None], P2], axis=0)
+        )
+        a0, a1 = cum2[:, 0, 0], cum2[:, 0, 1]
+    else:
+
+        def mm2(x, y):
+            # x @ y for 2×2 blocks carried as a 4-tuple of entry vectors:
+            # exactly-rounded f32 elementwise mul/adds (so the precision
+            # pin that motivated matmul_hi is moot here).  A batched
+            # dot_general over 2×2 blocks lowers to latency-bound tiny MXU
+            # passes that dominated the per-particle assembly time
+            # (~100x slower than this form at B=500 — docs/DESIGN.md);
+            # carrying the entries as a tuple (not a stacked array sliced
+            # inside the combine) keeps the scan's VJP graph small.
+            x00, x01, x10, x11 = x
+            y00, y01, y10, y11 = y
+            return (
+                x00 * y00 + x01 * y10,
+                x00 * y01 + x01 * y11,
+                x10 * y00 + x11 * y10,
+                x10 * y01 + x11 * y11,
+            )
+
+        one = jnp.ones_like(p02[:1])
+        zero = jnp.zeros_like(p02[:1])
+        a0, a1, _, _ = jax.lax.associative_scan(
+            mm2,
+            (
+                jnp.concatenate([one, P2[:, 0, 0]]),
+                jnp.concatenate([zero, P2[:, 0, 1]]),
+                jnp.concatenate([zero, P2[:, 1, 0]]),
+                jnp.concatenate([one, P2[:, 1, 1]]),
+            ),
+        )
+    # a0/a1: live occupancy (row 0 of the cumulative product) entering
+    # interval k
     # absorbed mass within sub-interval k; a trailing pseudo-interval with
     # p02 = p12 = 1 plays the reference's absorbing tail block
     inc = jnp.append(a0[:-1] * p02 + a1[:-1] * p12, a0[-1] + a1[-1])
