@@ -473,11 +473,17 @@ class VcfContig(Contig):
         queries the scan seeks to the region and stops as soon as it has
         been passed.
 
-        Only for text VCFs (.bcf decodes through io.bcf / pysam); returns
-        None when the native extension is unavailable.
+        .bcf files take the native batched reader (io.bcf.read_bcf_region)
+        unless pysam is installed (htslib's C decoder wins, via _records);
+        text VCFs return None when the native extension is unavailable.
         """
         if self.vcf_file.endswith(".bcf"):
-            return None
+            try:
+                import pysam  # noqa: F401
+
+                return None  # indexed htslib fetch through _records
+            except ImportError:
+                return self._get_data_fast_bcf(window_size)
         try:
             from phlash_tpu.io import parse_vcf_lines, vcf_parser_backend
         except Exception:  # pragma: no cover - optional component
@@ -577,6 +583,25 @@ class VcfContig(Contig):
                 scan(early_stop=False)
         except _FastPathUnavailable:  # pragma: no cover
             return None
+        return dict(het_matrix=H.astype(np.int8), afs=afs[1:-1])
+
+    def _get_data_fast_bcf(self, window_size: int) -> dict[str, np.ndarray]:
+        "Vectorized .bcf windowing over io.bcf.read_bcf_region batches."
+        from phlash_tpu.io.bcf import read_bcf_region
+
+        start, end = self.interval
+        S = len(self.samples)
+        W = (end - start + 1) // window_size
+        H = np.zeros([S, W], dtype=bool)
+        afs = np.zeros(2 * S + 1, dtype=np.int64)
+        for pos, het, nd in read_bcf_region(
+            self.vcf_file, self.contig, start, end, self.samples
+        ):
+            win = np.minimum((pos - start) // window_size, W - 1)
+            hot = het.T > 0  # (S, R)
+            rows = np.broadcast_to(np.arange(S)[:, None], hot.shape)
+            np.logical_or.at(H, (rows, np.broadcast_to(win[None], hot.shape)), hot)
+            afs += np.bincount(nd, minlength=2 * S + 1)[: 2 * S + 1]
         return dict(het_matrix=H.astype(np.int8), afs=afs[1:-1])
 
     def get_data(self, window_size: int = 100) -> dict[str, np.ndarray]:

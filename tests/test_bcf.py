@@ -344,3 +344,36 @@ def test_zero_count_format_field(tmp_path):
         w.finish()
     out = list(iter_bcf(path, "c1", 1, 1000, ["s1"]))
     assert len(out) == 1 and out[0]["het"][0] == 1
+
+
+def test_bcf_fast_path_equals_record_path(tmp_path, monkeypatch):
+    """VcfContig's vectorized .bcf fast path must reproduce the per-record
+    path exactly (het OR-windowing, AFS counts, region filtering), including
+    a mixed-layout file (a haploid record changes the batch layout)."""
+    from phlash_tpu.io.bcf import write_bcf
+
+    header = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=chr1,length=5000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts0\ts1\n"
+    )
+    rng = np.random.default_rng(5)
+    recs = []
+    for pos in sorted(rng.choice(np.arange(1, 5000), size=300, replace=False)):
+        gts = [tuple(rng.integers(0, 2, 2)), tuple(rng.integers(0, 2, 2))]
+        if pos % 97 == 0:
+            gts[0] = (None, None)  # missing call
+        if pos % 131 == 0:
+            gts = [(1,), (0,)]  # haploid record: layout switch mid-stream
+        recs.append(("chr1", int(pos), "A", ["T"], gts))
+    p = tmp_path / "mix.bcf"
+    write_bcf(str(p), header, recs)
+
+    c = VcfContig(str(p), samples=["s0", "s1"], contig="chr1", interval=(100, 4500))
+    fast = c._get_data_fast(100)
+    monkeypatch.setattr(VcfContig, "_get_data_fast", lambda self, w: None)
+    slow = c.get_data(100)
+    np.testing.assert_array_equal(fast["het_matrix"], slow["het_matrix"])
+    np.testing.assert_array_equal(fast["afs"], slow["afs"])
+    assert fast["het_matrix"].any() and fast["afs"].sum() > 0
