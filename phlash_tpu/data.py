@@ -350,6 +350,31 @@ class _FastPathUnavailable(Exception):
     "Raised when the streaming C fast path vanishes mid-scan (fall back)."
 
 
+class PloidyError(ValueError):
+    "A record's derived-allele count exceeds 2*num_samples (non-diploid GT)."
+
+
+def _accumulate_windows(H, afs, pos, het, nd, start: int, window_size: int):
+    """Fold one batch of records into the windowed het matrix + AFS, in place.
+
+    H is (S, W) bool, afs is (2S+1,) int64; het is (R, S) per-sample het
+    counts in output sample order, nd is (R,) derived-allele counts.
+    Shared by the text-VCF and native-BCF vectorized paths so their
+    windowing semantics cannot drift apart.
+    """
+    S, W = H.shape
+    if nd.size and int(nd.max()) >= afs.size:
+        raise PloidyError(
+            f"derived-allele count {int(nd.max())} exceeds 2*num_samples="
+            f"{afs.size - 1}; only diploid calls are supported"
+        )
+    win = np.minimum((pos - start) // window_size, W - 1).astype(np.int64)
+    hot = het.T > 0  # (S, R)
+    rows = np.broadcast_to(np.arange(S)[:, None], hot.shape)
+    np.logical_or.at(H, (rows, np.broadcast_to(win[None], hot.shape)), hot)
+    afs += np.bincount(nd, minlength=afs.size)
+
+
 @dataclass(frozen=True)
 class VcfContig(Contig):
     """Data from a VCF/BCF file restricted to one region.
@@ -474,16 +499,24 @@ class VcfContig(Contig):
         been passed.
 
         .bcf files take the native batched reader (io.bcf.read_bcf_region)
-        unless pysam is installed (htslib's C decoder wins, via _records);
-        text VCFs return None when the native extension is unavailable.
+        — its vectorized decode (~200 krec/s) beats a per-record Python
+        loop over pysam even though htslib's C decoder is faster per
+        record.  If the native reader rejects the file (exotic layout),
+        the per-record path — pysam-backed when installed — takes over.
         """
         if self.vcf_file.endswith(".bcf"):
             try:
-                import pysam  # noqa: F401
-
-                return None  # indexed htslib fetch through _records
-            except ImportError:
                 return self._get_data_fast_bcf(window_size)
+            except PloidyError:
+                raise  # a data error, not a reader limitation: no fallback
+            except Exception:
+                logger.warning(
+                    "%s: native BCF reader failed; falling back to the "
+                    "per-record path",
+                    self.vcf_file,
+                    exc_info=True,
+                )
+                return None
         try:
             from phlash_tpu.io import parse_vcf_lines, vcf_parser_backend
         except Exception:  # pragma: no cover - optional component
@@ -525,7 +558,6 @@ class VcfContig(Contig):
 
         def scan(early_stop: bool) -> bool:
             "Accumulate into H/afs; returns False if disorder forces a rescan."
-            nonlocal afs
             seen_region = False
             last_pos = -1
             for block in self._iter_line_blocks(voff if early_stop else None):
@@ -554,15 +586,9 @@ class VcfContig(Contig):
                 pos_k, het_k, nd_k = pos[keep], het[keep][:, order], nd[keep]
                 if len(pos_k):
                     seen_region = True
-                    win = np.minimum(
-                        (pos_k - start) // window_size, W - 1
-                    ).astype(np.int64)
-                    hot = het_k.T > 0  # (S, R)
-                    rows = np.broadcast_to(np.arange(S)[:, None], hot.shape)
-                    np.logical_or.at(
-                        H, (rows, np.broadcast_to(win[None], hot.shape)), hot
+                    _accumulate_windows(
+                        H, afs, pos_k, het_k, nd_k, start, window_size
                     )
-                    afs += np.bincount(nd_k, minlength=2 * S + 1)[: 2 * S + 1]
                 if past and early_stop:
                     break  # sorted VCF: everything further is beyond the interval
             return True
@@ -597,11 +623,7 @@ class VcfContig(Contig):
         for pos, het, nd in read_bcf_region(
             self.vcf_file, self.contig, start, end, self.samples
         ):
-            win = np.minimum((pos - start) // window_size, W - 1)
-            hot = het.T > 0  # (S, R)
-            rows = np.broadcast_to(np.arange(S)[:, None], hot.shape)
-            np.logical_or.at(H, (rows, np.broadcast_to(win[None], hot.shape)), hot)
-            afs += np.bincount(nd, minlength=2 * S + 1)[: 2 * S + 1]
+            _accumulate_windows(H, afs, pos, het, nd, start, window_size)
         return dict(het_matrix=H.astype(np.int8), afs=afs[1:-1])
 
     def get_data(self, window_size: int = 100) -> dict[str, np.ndarray]:

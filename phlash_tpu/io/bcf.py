@@ -368,14 +368,6 @@ class BcfFile:
                 atom, ploidy, len(self.samples), payload
             )[0]
 
-    def _decode_gt(self, indiv: memoryview, n_fmt: int) -> np.ndarray | None:
-        "Walk the per-sample blocks until the GT key; decode allele indices."
-        found = self._gt_payload(indiv, n_fmt)
-        if found is None:
-            return None
-        atom, ploidy, payload = found
-        return _decode_gt_payloads(atom, ploidy, len(self.samples), payload)[0]
-
     def _gt_payload(
         self, indiv: memoryview, n_fmt: int
     ) -> tuple[int, int, bytes] | None:
@@ -398,6 +390,11 @@ class BcfFile:
             if key not in self._gt_keys:
                 at += width
                 continue
+            if len(indiv) - at < width:
+                raise ValueError(
+                    f"{self.path}: truncated GT payload ({len(indiv) - at} of "
+                    f"{width} bytes)"
+                )
             return atom, ploidy, bytes(indiv[at : at + width])
         return None
 

@@ -172,7 +172,11 @@ def transition_matrix(dm: DemographicModel, n: int = 2) -> jax.Array:
     p02 = jnp.where(degenerate, 0.0, p02)
     p12 = jnp.where(degenerate, 0.0, p12)
 
-    if _os.environ.get("PHLASH_TPU_SCAN_MATMUL"):
+    if _os.environ.get("PHLASH_TPU_SCAN_MATMUL", "0").lower() not in (
+        "",
+        "0",
+        "false",
+    ):
         # escape hatch: the original dot_general scan.  Slower on TPU
         # (tiny batched 2x2 matmuls are latency-bound MXU passes) but kept
         # selectable in case a compiler version mishandles the elementwise

@@ -377,3 +377,69 @@ def test_bcf_fast_path_equals_record_path(tmp_path, monkeypatch):
     np.testing.assert_array_equal(fast["het_matrix"], slow["het_matrix"])
     np.testing.assert_array_equal(fast["afs"], slow["afs"])
     assert fast["het_matrix"].any() and fast["afs"].sum() > 0
+
+
+def test_bcf_polyploid_raises_ploidy_error(tmp_path):
+    """A tetraploid call (nd > 2*num_samples) must fail loudly in the fast
+    path — a clear PloidyError, not a silently dropped AFS count."""
+    from phlash_tpu.data import PloidyError
+    from phlash_tpu.io.bcf import write_bcf
+
+    header = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=chr1,length=5000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts0\n"
+    )
+    recs = [
+        ("chr1", 100, "A", ["T"], [(0, 1)]),
+        ("chr1", 200, "A", ["T"], [(1, 1, 1, 1)]),  # tetraploid
+    ]
+    p = tmp_path / "tetra.bcf"
+    write_bcf(str(p), header, recs)
+    c = VcfContig(str(p), samples=["s0"], contig="chr1", interval=(1, 5000))
+    with pytest.raises(PloidyError, match="diploid"):
+        c.get_data(100)
+
+
+def test_bcf_truncated_gt_payload_raises(tmp_path):
+    """A record whose indiv block ends inside the GT payload must raise at
+    framing time, not silently shift genotype-position association."""
+    import struct as _struct
+
+    from phlash_tpu.io.bcf import BgzfReader, _BgzfWriter, write_bcf
+
+    header = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=c1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+    )
+    path = str(tmp_path / "trunc.bcf")
+    write_bcf(path, header, [("c1", 10, "A", ["T"], [(0, 1)])])
+
+    # re-frame the record with l_indiv cut to end at the GT payload start
+    r = BgzfReader(path)
+    r.seek_virtual(0)
+    magic = r.read(5)
+    (l_text,) = _struct.unpack("<I", r.read(4))
+    htext = r.read(l_text)
+    l_shared, l_indiv = _struct.unpack("<II", r.read(8))
+    shared = r.read(l_shared)
+    indiv = r.read(l_indiv)
+    r.close()
+    # indiv = [GT key typed int][GT meta descriptor][payload]; keep the
+    # framing bytes, drop the payload
+    cut = len(indiv) - 2  # 2 bytes: int8 x ploidy 2 x 1 sample
+    with open(path, "wb") as fh:
+        w = _BgzfWriter(fh)
+        w.write(magic)
+        w.write(_struct.pack("<I", l_text))
+        w.write(htext)
+        w.write(_struct.pack("<II", l_shared, cut))
+        w.write(shared)
+        w.write(indiv[:cut])
+        w.finish()
+    with BcfFile(path) as f:
+        with pytest.raises(ValueError, match="truncated GT payload"):
+            list(f.records("c1", 1, 1000))
