@@ -16,7 +16,11 @@ overlap, chunk_size, max_samples, num_workers, mutation_rate, truth,
 elpd_cutoff, afs_transform, minibatch_size, init, theta, t1, tM,
 rho_over_theta, alpha, beta, sigma, num_particles, learning_rate,
 double_precision, callback, progress; plus kernel_backend, pattern, mesh,
-and double_precision_params (default False: the particle cloud and the
+steps_per_call (chain this many SVGD iterations inside each jitted
+dispatch via lax.scan — amortizes per-call host/dispatch overhead when
+the step graph is only a few ms; periodic finiteness/ELPD/checkpoint
+cadences then land on the first call at or after their scheduled
+iteration), and double_precision_params (default False: the particle cloud and the
 differentiated assembly graph run in float32 — verified to match the f64
 graph's posterior recovery at ~2.2x the fit speed; True restores f64).
 
@@ -168,12 +172,17 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
             cb = None  # no live-plot backend: skip per-iteration dms()
 
     progress = options.get("progress", True)
+    # with steps_per_call > 1 each dispatch advances several SVGD
+    # iterations; the loop strides accordingly and the periodic
+    # (finiteness / ELPD / checkpoint) cadences become "at the first call
+    # on or after the scheduled iteration"
+    spc = prog.steps_per_call
     try:
         import tqdm.auto as tqdm
 
-        pbar = tqdm.trange(niter, disable=not progress, desc="fitting model")
+        pbar = tqdm.trange(0, niter, spc, disable=not progress, desc="fitting model")
     except ImportError:  # pragma: no cover
-        pbar = range(niter)
+        pbar = range(0, niter, spc)
 
     # optional checkpoint/resume (new vs the reference; SURVEY.md §5)
     ckpt_path = options.get("checkpoint_path")
@@ -200,7 +209,7 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
 
     num_particles = len(jax.tree.leaves(state.particles)[0])
     chunk_len = int(prog.kern.data.shape[-1])
-    meter = StepMeter(sites_per_step=float(prog.S) * num_particles * chunk_len)
+    meter = StepMeter(sites_per_step=float(prog.S) * num_particles * chunk_len * spc)
 
     # checking finiteness forces a host<->device sync; doing it every step
     # would serialize dispatch, so check periodically (and on the last step).
@@ -212,22 +221,28 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     check_every = options.get("check_every", default_check)
 
     patience = 0
+    next_check = 0
+    next_save = save_every
+    next_elpd = 0
     for i in pbar:
         if i < start_step:
+            next_check = next_save = next_elpd = start_step
             continue  # fast-forward a resumed run (pbar cosmetics only)
         key, sub = jax.random.split(key)
         new_state = step(state, sub)
-        if i % check_every == 0 or i == niter - 1:
+        if i >= next_check or i + spc >= niter:
+            next_check = i + check_every
             flat, _ = ravel_pytree(new_state.particles)
             if not bool(jnp.isfinite(flat).all()):
                 raise RuntimeError(f"non-finite particles at iteration {i}")
         state = new_state
         meter.tick()
-        if ckpt_path and (i + 1) % save_every == 0:
+        if ckpt_path and i + spc >= next_save:
+            next_save = i + spc + save_every
             save_checkpoint(
                 ckpt_path,
                 TrainCheckpoint(
-                    step=i + 1,
+                    step=i + spc,
                     state=state,
                     key=key,
                     ema=ema,
@@ -237,7 +252,8 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
                 ),
                 _treedef_cache,
             )
-        if test_data is not None and i % 10 == 0:
+        if test_data is not None and i >= next_elpd:
+            next_elpd = i + 10
             e = float(elpd(state.particles))
             ema = e if ema is None else 0.9 * ema + 0.1 * e
             if best_elpd is None or ema > best_elpd[1]:

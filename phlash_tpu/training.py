@@ -31,6 +31,25 @@ from phlash_tpu.utils import Pattern
 logger = logging.getLogger(__name__)
 
 
+def make_multi_step(step: Callable, k: int) -> Callable:
+    """Chain `k` SVGD steps into one dispatch via lax.scan.
+
+    One jitted call advances the state by k iterations (fresh minibatch
+    key per inner step), amortizing the per-call host/dispatch fixed cost
+    — significant when the step graph is a few ms and the device sits
+    behind a high-latency transport.  Exactly equivalent to calling
+    `step` on the k keys `jax.random.split(key, k)` in sequence.
+    """
+
+    def multi(state, key):
+        def body(s, kk):
+            return step(s, kk), None
+
+        return jax.lax.scan(body, state, jax.random.split(key, k))[0]
+
+    return multi
+
+
 def resolve_minibatch_size(options: dict, n_chunks: int, niter: int) -> int:
     """The minibatch size S: explicit option, else sized so that a run of
     `niter` steps visits each chunk about once (capped at 5).
@@ -44,7 +63,8 @@ def resolve_minibatch_size(options: dict, n_chunks: int, niter: int) -> int:
 @dataclass
 class TrainingProgram:
     state: SVGDState
-    step: Callable  # (state, key) -> state, pure & jittable
+    step: Callable  # (state, key) -> state, pure & jittable; advances
+    # `steps_per_call` SVGD iterations per invocation (default 1)
     init: MCMCParams  # the center of the initial particle cloud
     kern: object  # the likelihood kernel (holds device-resident chunks)
     warmup: jax.Array  # (N, overlap) int8 warmup prefixes on device
@@ -54,6 +74,7 @@ class TrainingProgram:
     S: int  # minibatch size
     window_size: int
     mutation_rate: float | None
+    steps_per_call: int = 1
 
 
 def build_training(
@@ -186,6 +207,10 @@ def build_training(
             afs_transform=afs_transform,
         )
 
+    steps_per_call = max(1, int(options.get("steps_per_call", 1)))
+    if steps_per_call > 1:
+        one_step = make_multi_step(one_step, steps_per_call)
+
     return TrainingProgram(
         state=state,
         step=one_step,
@@ -198,4 +223,5 @@ def build_training(
         S=S,
         window_size=window_size,
         mutation_rate=mutation_rate,
+        steps_per_call=steps_per_call,
     )

@@ -44,3 +44,59 @@ def test_f32_step_graph_has_no_tensor_f64():
 
     walk(jxp.jaxpr)
     assert not offenders, f"f64 tensors in the f32 step graph: {offenders[:10]}"
+
+
+def test_multi_step_equals_sequential_steps():
+    """make_multi_step(step, k) must apply `step` to exactly the k keys
+    jax.random.split(key, k), in order.  Verified with a deterministic
+    key-consuming step (the real SVGD step cannot be compared at the
+    value level: it chaotically amplifies f32 compile-variant rounding —
+    even jit-vs-eager of the SAME step diverges ~0.5 after 3 steps,
+    measured on an 8-particle toy cloud)."""
+    import jax
+    import jax.numpy as jnp
+
+    from phlash_tpu.training import make_multi_step
+
+    def fake_step(s, kk):
+        return jax.tree.map(lambda a: 1.1 * a + jax.random.uniform(kk, a.shape), s)
+
+    state = {"x": jnp.arange(6.0).reshape(2, 3), "y": jnp.ones(4)}
+    key = jax.random.PRNGKey(7)
+    s_seq = state
+    for kk in jax.random.split(key, 3):
+        s_seq = fake_step(s_seq, kk)
+    s_multi = jax.jit(make_multi_step(fake_step, 3))(state, key)
+    for a, b in zip(jax.tree.leaves(s_seq), jax.tree.leaves(s_multi)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # steps_per_call plumbs through build_training into the program
+    import jax.random as jr
+
+    rng = np.random.default_rng(1)
+    chunks = rng.binomial(1, 0.05, size=(32, 320)).astype(np.int8)
+    afs = rng.integers(10, 100, size=5).astype(np.int64)
+    prog3 = build_training(
+        chunks, afs, window_size=100, overlap=64, key=jr.PRNGKey(0),
+        options=dict(num_particles=8, minibatch_size=2, niter=10,
+                     kernel_backend="dense", steps_per_call=3),
+    )
+    assert prog3.steps_per_call == 3
+    out = jax.jit(prog3.step)(prog3.state, jr.PRNGKey(7))
+    flat = np.concatenate([np.ravel(x) for x in jax.tree.leaves(out.particles)])
+    assert np.isfinite(flat).all()
+
+
+def test_fit_steps_per_call_smoke():
+    "fit() with steps_per_call>1 runs the strided loop and returns particles."
+    import phlash_tpu
+    from phlash_tpu.data import RawContig
+
+    rng = np.random.default_rng(2)
+    het = rng.binomial(1, 0.1, size=(1, 4000)).astype(np.int8)
+    c = RawContig(het_matrix=het, afs=np.array([5]), window_size=100)
+    post = phlash_tpu.fit(
+        [c], test_data=c, niter=8, steps_per_call=4, num_particles=4,
+        overlap=20, chunk_size=200, progress=False, kernel_backend="dense",
+    )
+    assert len(post) == 4
