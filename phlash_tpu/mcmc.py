@@ -175,14 +175,25 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     # with steps_per_call > 1 each dispatch advances several SVGD
     # iterations; the loop strides accordingly and the periodic
     # (finiteness / ELPD / checkpoint) cadences become "at the first call
-    # on or after the scheduled iteration"
+    # on or after the scheduled iteration".  A final partial call (its own
+    # compiled graph, built lazily) lands exactly on niter when
+    # steps_per_call does not divide it.
     spc = prog.steps_per_call
-    try:
-        import tqdm.auto as tqdm
+    _steps = {spc: step}
 
-        pbar = tqdm.trange(0, niter, spc, disable=not progress, desc="fitting model")
-    except ImportError:  # pragma: no cover
-        pbar = range(0, niter, spc)
+    def step_of(k: int):
+        "The jitted k-iteration step; k=spc is the prebuilt default."
+        if k not in _steps:
+            from phlash_tpu.training import make_multi_step
+
+            fn = prog.base_step if k == 1 else make_multi_step(prog.base_step, k)
+            if mesh is not None:
+                from phlash_tpu.parallel import shard_training_step
+
+                _steps[k] = shard_training_step(fn, mesh)[1](state)
+            else:
+                _steps[k] = jax.jit(fn)
+        return _steps[k]
 
     # optional checkpoint/resume (new vs the reference; SURVEY.md §5)
     ckpt_path = options.get("checkpoint_path")
@@ -204,6 +215,26 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
             )
             if resumed.best_state is not None:
                 best_elpd = (resumed.best_step, resumed.best_ema, resumed.best_state)
+            if start_step % spc:
+                logger.warning(
+                    "resuming from iteration %d, which is not a multiple of "
+                    "steps_per_call=%d; call boundaries realign from there",
+                    start_step,
+                    spc,
+                )
+
+    # the loop starts at the resumed iteration (exactly, even when it is
+    # not a multiple of steps_per_call)
+    try:
+        import tqdm.auto as tqdm
+
+        pbar = tqdm.tqdm(
+            range(start_step, niter, spc),
+            disable=not progress,
+            desc="fitting model",
+        )
+    except ImportError:  # pragma: no cover
+        pbar = range(start_step, niter, spc)
 
     from phlash_tpu.profiling import StepMeter
 
@@ -211,38 +242,38 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     chunk_len = int(prog.kern.data.shape[-1])
     meter = StepMeter(sites_per_step=float(prog.S) * num_particles * chunk_len * spc)
 
-    # checking finiteness forces a host<->device sync; doing it every step
-    # would serialize dispatch, so check periodically (and on the last step).
-    # PHLASH_TPU_DEBUG=1 restores per-step checking (cf. the reference's
-    # PHLASH_DEBUG_MODE, gpu.py:21).
+    # checking finiteness forces a host<->device sync; doing it every call
+    # would serialize dispatch, so check periodically (and on the last
+    # call).  PHLASH_TPU_DEBUG=1 restores per-call checking (cf. the
+    # reference's PHLASH_DEBUG_MODE, gpu.py:21); with steps_per_call > 1
+    # the check granularity is the call — a non-finite blow-up localizes
+    # only to within steps_per_call iterations.
     import os as _os
 
     default_check = 1 if _os.environ.get("PHLASH_TPU_DEBUG") else 10
     check_every = options.get("check_every", default_check)
 
     patience = 0
-    next_check = 0
-    next_save = save_every
-    next_elpd = 0
+    next_check = start_step
+    next_save = start_step + save_every
+    next_elpd = start_step
     for i in pbar:
-        if i < start_step:
-            next_check = next_save = next_elpd = start_step
-            continue  # fast-forward a resumed run (pbar cosmetics only)
+        k = min(spc, niter - i)  # the final call may be partial
         key, sub = jax.random.split(key)
-        new_state = step(state, sub)
-        if i >= next_check or i + spc >= niter:
+        new_state = step_of(k)(state, sub)
+        if i >= next_check or i + k >= niter:
             next_check = i + check_every
             flat, _ = ravel_pytree(new_state.particles)
             if not bool(jnp.isfinite(flat).all()):
                 raise RuntimeError(f"non-finite particles at iteration {i}")
         state = new_state
-        meter.tick()
-        if ckpt_path and i + spc >= next_save:
-            next_save = i + spc + save_every
+        meter.tick()  # counts spc sites even on a (rare) partial final call
+        if ckpt_path and i + k >= next_save:
+            next_save = i + k + save_every
             save_checkpoint(
                 ckpt_path,
                 TrainCheckpoint(
-                    step=i + spc,
+                    step=i + k,
                     state=state,
                     key=key,
                     ema=ema,

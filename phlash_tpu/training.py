@@ -65,6 +65,8 @@ class TrainingProgram:
     state: SVGDState
     step: Callable  # (state, key) -> state, pure & jittable; advances
     # `steps_per_call` SVGD iterations per invocation (default 1)
+    base_step: Callable  # the single-iteration step `step` wraps (for
+    # remainder calls when steps_per_call does not divide niter)
     init: MCMCParams  # the center of the initial particle cloud
     kern: object  # the likelihood kernel (holds device-resident chunks)
     warmup: jax.Array  # (N, overlap) int8 warmup prefixes on device
@@ -208,12 +210,14 @@ def build_training(
         )
 
     steps_per_call = max(1, int(options.get("steps_per_call", 1)))
+    step = one_step
     if steps_per_call > 1:
-        one_step = make_multi_step(one_step, steps_per_call)
+        step = make_multi_step(one_step, steps_per_call)
 
     return TrainingProgram(
         state=state,
-        step=one_step,
+        step=step,
+        base_step=one_step,
         init=init,
         kern=kern,
         warmup=warmup_dev,

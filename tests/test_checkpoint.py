@@ -97,7 +97,7 @@ def test_fit_resume_steps_per_call(tmp_path):
     from phlash_tpu.data import init_mcmc_data
     from phlash_tpu.training import build_training
 
-    afs, chunks = init_mcmc_data([c], 100, 10, 300, 1)
+    afs, chunks = init_mcmc_data([c], 100, 10, 300, num_workers=1)
     prog = build_training(
         chunks, afs, window_size=100, overlap=10, key=jax.random.PRNGKey(5),
         options=dict(kw, niter=6),

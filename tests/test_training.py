@@ -1,6 +1,7 @@
 """Training-program construction tests."""
 
 import numpy as np
+import pytest
 
 from phlash_tpu.training import build_training
 
@@ -70,33 +71,36 @@ def test_multi_step_equals_sequential_steps():
     for a, b in zip(jax.tree.leaves(s_seq), jax.tree.leaves(s_multi)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
-    # steps_per_call plumbs through build_training into the program
-    import jax.random as jr
+
+@pytest.mark.slow  # compiles a scanned full SVGD step + two fit() graphs
+def test_fit_steps_per_call_smoke():
+    """steps_per_call plumbs through build_training; fit() with a
+    non-dividing steps_per_call runs the strided loop, takes a partial
+    final call landing exactly on niter, and returns particles."""
+    import jax
+
+    import phlash_tpu
+    from phlash_tpu.data import RawContig
 
     rng = np.random.default_rng(1)
     chunks = rng.binomial(1, 0.05, size=(32, 320)).astype(np.int8)
     afs = rng.integers(10, 100, size=5).astype(np.int64)
     prog3 = build_training(
-        chunks, afs, window_size=100, overlap=64, key=jr.PRNGKey(0),
+        chunks, afs, window_size=100, overlap=64, key=jax.random.PRNGKey(0),
         options=dict(num_particles=8, minibatch_size=2, niter=10,
                      kernel_backend="dense", steps_per_call=3),
     )
     assert prog3.steps_per_call == 3
-    out = jax.jit(prog3.step)(prog3.state, jr.PRNGKey(7))
+    out = jax.jit(prog3.step)(prog3.state, jax.random.PRNGKey(7))
     flat = np.concatenate([np.ravel(x) for x in jax.tree.leaves(out.particles)])
     assert np.isfinite(flat).all()
-
-
-def test_fit_steps_per_call_smoke():
-    "fit() with steps_per_call>1 runs the strided loop and returns particles."
-    import phlash_tpu
-    from phlash_tpu.data import RawContig
 
     rng = np.random.default_rng(2)
     het = rng.binomial(1, 0.1, size=(1, 4000)).astype(np.int8)
     c = RawContig(het_matrix=het, afs=np.array([5]), window_size=100)
+    # niter=10 with steps_per_call=4: calls advance 4+4+2 iterations
     post = phlash_tpu.fit(
-        [c], test_data=c, niter=8, steps_per_call=4, num_particles=4,
+        [c], test_data=c, niter=10, steps_per_call=4, num_particles=4,
         overlap=20, chunk_size=200, progress=False, kernel_backend="dense",
     )
     assert len(post) == 4
