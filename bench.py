@@ -27,11 +27,36 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _device_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe the backend with a tiny op in a subprocess.
+
+    The tunneled TPU backend can wedge (first device op of EVERY process
+    hangs, e.g. after repeated mid-compile kills); a subprocess probe
+    with a timeout converts a would-be indefinite hang of this benchmark
+    into a fast, explained failure line.
+    """
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp; print(float(jnp.arange(8.0).sum()))",
+            ],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def _measure(fn, arg, sites: int, reps: int = 3, inner: int = 10) -> float:
@@ -53,6 +78,24 @@ def _measure(fn, arg, sites: int, reps: int = 3, inner: int = 10) -> float:
 
 
 def main():
+    if not _device_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "HMM fwd+grad throughput (M=16, B=500, S=5, f32)",
+                    "value": None,
+                    "unit": "Msites/sec",
+                    "vs_baseline": None,
+                    "extra": {
+                        "error": "device backend unreachable: a tiny device "
+                        "op did not complete within 240 s (wedged TPU "
+                        "tunnel?); benchmark skipped instead of hanging"
+                    },
+                }
+            )
+        )
+        return
+
     from phlash_tpu.hmm import PureXLAKernel
     from phlash_tpu.kernel import get_kernel
     from phlash_tpu.params import PSMCParams
