@@ -172,15 +172,19 @@ def transition_matrix(dm: DemographicModel, n: int = 2) -> jax.Array:
     p02 = jnp.where(degenerate, 0.0, p02)
     p12 = jnp.where(degenerate, 0.0, p12)
 
-    if _os.environ.get("PHLASH_TPU_SCAN_MATMUL", "0").lower() not in (
+    if _os.environ.get("PHLASH_TPU_SCAN_ELEMENTWISE", "0").lower() in (
         "",
         "0",
         "false",
     ):
-        # escape hatch: the original dot_general scan.  Slower on TPU
-        # (tiny batched 2x2 matmuls are latency-bound MXU passes) but kept
-        # selectable in case a compiler version mishandles the elementwise
-        # combine below.
+        # default: the dot_general scan — the configuration behind every
+        # TPU-verified step-time and bench figure.  The tiny batched 2x2
+        # matmuls are latency-bound MXU passes, but the elementwise
+        # combine below is gated behind PHLASH_TPU_SCAN_ELEMENTWISE=1
+        # until its XLA:TPU compile of the full fused step is verified:
+        # a closely-related stack/slice-based combine made that compile
+        # pathological (>10 min, never completed) while compiling fine on
+        # CPU, and the tuple form has so far only been compiled on CPU.
         cum2 = jax.lax.associative_scan(
             matmul_hi, jnp.concatenate([eye2[None], P2], axis=0)
         )
