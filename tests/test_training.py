@@ -98,9 +98,27 @@ def test_fit_steps_per_call_smoke():
     rng = np.random.default_rng(2)
     het = rng.binomial(1, 0.1, size=(1, 4000)).astype(np.int8)
     c = RawContig(het_matrix=het, afs=np.array([5]), window_size=100)
-    # niter=10 with steps_per_call=4: calls advance 4+4+2 iterations
-    post = phlash_tpu.fit(
-        [c], test_data=c, niter=10, steps_per_call=4, num_particles=4,
-        overlap=20, chunk_size=200, progress=False, kernel_backend="dense",
-    )
-    assert len(post) == 4
+    # niter=10 with steps_per_call=4: calls advance 4+4+2 iterations.
+    # save_every=1 checkpoints every call, so the final checkpoint's
+    # recorded step pins that the run landed on exactly niter.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = f"{d}/s.npz"
+        post = phlash_tpu.fit(
+            [c], test_data=c, niter=10, steps_per_call=4, num_particles=4,
+            overlap=20, chunk_size=200, progress=False, kernel_backend="dense",
+            checkpoint_path=ckpt, save_every=1,
+        )
+        assert len(post) == 4
+        from phlash_tpu.checkpoint import load_checkpoint
+        from phlash_tpu.data import init_mcmc_data
+
+        afs2, chunks2 = init_mcmc_data([c], 100, 20, 200, num_workers=1)
+        tmpl = build_training(
+            chunks2, afs2, window_size=100, overlap=20,
+            key=jax.random.PRNGKey(0),
+            options=dict(num_particles=4, kernel_backend="dense", niter=10),
+        )
+        back = load_checkpoint(ckpt, tmpl.state)
+        assert back is not None and back.step == 10  # 4 + 4 + 2, not 12
