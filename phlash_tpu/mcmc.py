@@ -20,7 +20,8 @@ steps_per_call (chain this many SVGD iterations inside each jitted
 dispatch via lax.scan — amortizes per-call host/dispatch overhead when
 the step graph is only a few ms; periodic finiteness/ELPD/checkpoint
 cadences then land on the first call at or after their scheduled
-iteration), and double_precision_params (default False: the particle cloud and the
+iteration; defaults to 10 on accelerator backends and 1 on CPU), and
+double_precision_params (default False: the particle cloud and the
 differentiated assembly graph run in float32 — verified to match the f64
 graph's posterior recovery at ~2.2x the fit speed; True restores f64).
 

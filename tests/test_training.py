@@ -72,6 +72,34 @@ def test_multi_step_equals_sequential_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_steps_per_call_default_resolution(monkeypatch):
+    """Unspecified steps_per_call resolves to 1 on CPU and 10 on an
+    accelerator backend (clamped to niter); an explicit value wins."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    chunks = rng.binomial(1, 0.05, size=(16, 192)).astype(np.int8)
+    afs = rng.integers(10, 100, size=3).astype(np.int64)
+
+    def build(**opts):
+        return build_training(
+            chunks, afs, window_size=100, overlap=64,
+            key=jax.random.PRNGKey(0),
+            options=dict(num_particles=4, minibatch_size=2,
+                         kernel_backend="dense", **opts),
+        )
+
+    assert build(niter=20).steps_per_call == 1  # CPU default
+
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr("phlash_tpu.training.jax.devices", lambda: [FakeDev()])
+    assert build(niter=20).steps_per_call == 10  # accelerator default
+    assert build(niter=3).steps_per_call == 3  # clamped to niter
+    assert build(niter=20, steps_per_call=2).steps_per_call == 2  # explicit
+
+
 @pytest.mark.slow  # compiles a scanned full SVGD step + two fit() graphs
 def test_fit_steps_per_call_smoke():
     """steps_per_call plumbs through build_training; fit() with a
