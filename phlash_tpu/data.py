@@ -749,6 +749,9 @@ def init_mcmc_data(
             afss.append(d.afs)
         if d.chunks is not None:
             chunk_blocks.append(d.chunks)
-    assert len({a.shape for a in afss}) == 1, "all AFS must have the same dimension"
+    if afss:
+        assert len({a.shape for a in afss}) == 1, "all AFS must have the same dimension"
     assert len({ch.shape[-1] for ch in chunk_blocks}) == 1
-    return np.sum(afss, 0), np.concatenate(chunk_blocks, 0)
+    # no contig carried an AFS (e.g. multi-sample continuous-SMC' draws):
+    # the likelihood simply drops its AFS term
+    return (np.sum(afss, 0) if afss else None), np.concatenate(chunk_blocks, 0)

@@ -145,6 +145,7 @@ def simulate_smc_continuous(
     L: int,
     seed: int = 0,
     window_size: int = 100,
+    n_samples: int = 1,
 ) -> RawContig:
     """Simulate a diploid het sequence from the *continuous* SMC' process.
 
@@ -174,20 +175,32 @@ def simulate_smc_continuous(
         L: number of windows to emit.
         seed: numpy seed.
         window_size: recorded on the contig (bp per window).
+        n_samples: number of diploid samples; each is an independent SMC'
+            TMRCA path, stacked as one row of the het matrix.  This matches
+            the composite-likelihood assumption exactly (the model treats
+            rows as independent pairs, /root/reference/src/phlash/model.py
+            sums the per-row HMM log-likelihoods), so it is the right
+            generative match for validating the N>1 path.  With
+            n_samples > 1 no AFS is emitted: the pairwise paths cannot
+            produce the joint 2N-haplotype spectrum.
     """
     rng = np.random.default_rng(seed)
-    starts, tmrca = _segments_smc_continuous(dm, L, rng)
-    lengths = np.diff(starts)
+    rows = []
+    for _ in range(n_samples):
+        starts, tmrca = _segments_smc_continuous(dm, L, rng)
+        lengths = np.diff(starts)
 
-    # Poisson mutations at rate theta * s per window of genome distance
-    n_mut = rng.poisson(float(dm.theta) * tmrca * lengths)
-    total = int(n_mut.sum())
-    obs = np.zeros(L, dtype=np.int8)
-    if total:
-        seg_of = np.repeat(np.arange(len(lengths)), n_mut)
-        pos = starts[seg_of] + rng.random(total) * lengths[seg_of]
-        obs[np.minimum(pos.astype(np.int64), L - 1)] = 1
-    return RawContig(het_matrix=obs[None], afs=np.ones(1), window_size=window_size)
+        # Poisson mutations at rate theta * s per window of genome distance
+        n_mut = rng.poisson(float(dm.theta) * tmrca * lengths)
+        total = int(n_mut.sum())
+        obs = np.zeros(L, dtype=np.int8)
+        if total:
+            seg_of = np.repeat(np.arange(len(lengths)), n_mut)
+            pos = starts[seg_of] + rng.random(total) * lengths[seg_of]
+            obs[np.minimum(pos.astype(np.int64), L - 1)] = 1
+        rows.append(obs)
+    afs = np.ones(1) if n_samples == 1 else None
+    return RawContig(het_matrix=np.stack(rows), afs=afs, window_size=window_size)
 
 
 def _segments_smc_continuous(dm, L, rng) -> tuple[np.ndarray, np.ndarray]:

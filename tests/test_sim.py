@@ -429,3 +429,42 @@ def test_continuous_simulator_het_rate_and_determinism():
     assert abs(c1.het_matrix.mean() - 1e-2) < 2e-3
     c3 = simulate_smc_continuous(dm, 100_000, seed=4)
     assert (c1.het_matrix != c3.het_matrix).any()
+
+
+def test_continuous_simulator_multi_sample():
+    # n_samples > 1: independent diploid SMC' paths stacked as het rows —
+    # the exact generative match for the composite likelihood (which sums
+    # per-row HMM log-likelihoods as if rows were independent pairs)
+    from phlash_tpu.sim import simulate_smc_continuous
+
+    dm = constant_demography(theta=1e-2)
+    c = simulate_smc_continuous(dm, 20_000, seed=5, n_samples=3)
+    assert c.het_matrix.shape == (3, 20_000)
+    assert c.afs is None  # pairwise paths cannot produce a 2N-haplotype AFS
+    assert c.N == 6  # three diploid rows = six ploids
+    # rows are independent draws, not copies
+    assert (c.het_matrix[0] != c.het_matrix[1]).any()
+    # loose sanity bound only: at L=20k the TMRCA-path correlation makes the
+    # per-contig het rate noisy (the tight rate check lives in
+    # test_continuous_simulator_het_rate_and_determinism at L=100k)
+    assert 2e-3 < c.het_matrix.mean() < 3e-2
+
+
+def test_multi_sample_fit_end_to_end():
+    # the full driver on an N>1 contig with no AFS: init_mcmc_data must
+    # return afs=None and the likelihood must drop its AFS term
+    import phlash_tpu
+    from phlash_tpu.sim import simulate_smc_continuous
+
+    dm = constant_demography(theta=1e-2)
+    contig = simulate_smc_continuous(dm, 30_000, seed=6, n_samples=2)
+    post = phlash_tpu.fit(
+        [contig],
+        niter=3,
+        num_particles=8,
+        progress=False,
+        theta=1e-4,
+        num_workers=1,
+        kernel_backend="dense",
+    )
+    assert len(post) == 8

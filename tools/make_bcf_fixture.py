@@ -9,6 +9,9 @@ this fixture pins).  Run from the repo root:
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

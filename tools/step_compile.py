@@ -11,8 +11,11 @@ mid-compile on the tunneled TPU backend; see .claude/skills/verify.
 Usage: python tools/step_compile.py [steps_per_call]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import numpy as np

@@ -27,6 +27,11 @@ import argparse
 import json
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

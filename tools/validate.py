@@ -28,7 +28,13 @@ import numpy as np
 
 
 def run(
-    name: str, truth, L: int, niter: int, n_contigs: int = 3, simulator: str = "continuous"
+    name: str,
+    truth,
+    L: int,
+    niter: int,
+    n_contigs: int = 3,
+    simulator: str = "continuous",
+    n_samples: int = 1,
 ) -> dict:
     import jax
 
@@ -39,9 +45,15 @@ def run(
     if simulator == "continuous":
         # exact continuous-time SMC' draws: independent of the discretized
         # transition-matrix code the likelihood uses (non-circular — the
-        # reference gets this independence from msprime/scrm)
-        contigs = [simulate_smc_continuous(truth, L=L, seed=i) for i in range(n_contigs)]
-        test = simulate_smc_continuous(truth, L=L, seed=99)
+        # reference gets this independence from msprime/scrm).  n_samples > 1
+        # exercises the composite likelihood: each het-matrix row is an
+        # independent diploid SMC' path, exactly the independence the model
+        # assumes when it sums per-row log-likelihoods.
+        contigs = [
+            simulate_smc_continuous(truth, L=L, seed=i, n_samples=n_samples)
+            for i in range(n_contigs)
+        ]
+        test = simulate_smc_continuous(truth, L=L, seed=99, n_samples=n_samples)
     else:
         contigs = [simulate_hmm(truth, L=L, key=i) for i in range(n_contigs)]
         test = simulate_hmm(truth, L=L, key=99)
@@ -114,6 +126,13 @@ def main():
         help="continuous = exact SMC' process (non-circular, default); "
         "hmm = the discretized HMM the likelihood assumes",
     )
+    ap.add_argument(
+        "--n-samples",
+        type=int,
+        default=1,
+        help="diploid samples per contig (continuous simulator only); "
+        ">1 validates the multi-sample composite-likelihood path",
+    )
     args = ap.parse_args()
 
     from phlash_tpu.sim import (
@@ -124,10 +143,12 @@ def main():
 
     L = 100_000 if args.quick else 500_000
     niter = 100 if args.quick else 300
+    kw = dict(simulator=args.simulator, n_samples=args.n_samples)
+    suffix = "" if args.n_samples == 1 else f"_n{args.n_samples}"
     results = [
-        run("constant", constant_demography(theta=1e-2), L, niter, simulator=args.simulator),
-        run("bottleneck", bottleneck_demography(theta=1e-2), L, niter, simulator=args.simulator),
-        run("zigzag", zigzag_demography(theta=1e-2), L, niter, simulator=args.simulator),
+        run("constant" + suffix, constant_demography(theta=1e-2), L, niter, **kw),
+        run("bottleneck" + suffix, bottleneck_demography(theta=1e-2), L, niter, **kw),
+        run("zigzag" + suffix, zigzag_demography(theta=1e-2), L, niter, **kw),
     ]
     worst_tv = max(r["tv"] for r in results)
     print(f"SUMMARY worst tv={worst_tv:.3f}")
