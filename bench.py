@@ -136,6 +136,46 @@ def main():
     instr_fwd = ours_fwd * 1e6 / 128 * OPS_FWD * 2
     instr_grad = ours * 1e6 / 128 * (OPS_FWD + OPS_BWD) * 2
 
+    # --- full SVGD step rate (the BASELINE.md north-star "SVGD iters/sec"):
+    # the production-shaped training program (500 particles, S=5, 2.5 kb
+    # chunks, default steps_per_call) timed end to end.  Additive: any
+    # failure is recorded in extras without touching the primary metric.
+    step_extra = {}
+    try:
+        from phlash_tpu.training import build_training
+
+        rng2 = np.random.default_rng(1)
+        chunks = rng2.binomial(1, 0.05, size=(2000, 2500)).astype(np.int8)
+        afs_arr = rng2.integers(100, 1000, size=9).astype(np.int64)
+        prog = build_training(
+            chunks,
+            afs_arr,
+            window_size=100,
+            overlap=500,
+            key=jax.random.PRNGKey(0),
+            options=dict(num_particles=500, minibatch_size=5, niter=1000),
+        )
+        step = jax.jit(prog.step)
+        key = jax.random.PRNGKey(1)
+        s = step(prog.state, key)
+        float(jax.tree.leaves(s.particles)[0].ravel()[0])  # compile + fence
+        spc = prog.steps_per_call
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = prog.state
+            for _ in range(3):
+                s = step(s, key)
+            float(jax.tree.leaves(s.particles)[0].ravel()[0])
+            best = min(best, (time.perf_counter() - t0) / (3 * spc))
+        step_extra = {
+            "svgd_step_ms_per_iter": round(best * 1e3, 2),
+            "svgd_iters_per_sec": round(1.0 / best, 1),
+            "svgd_steps_per_call": spc,
+        }
+    except Exception as e:  # pragma: no cover - additive diagnostics only
+        step_extra = {"svgd_step_error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -153,6 +193,7 @@ def main():
                     "baseline_L": L_base,
                     "vpu_issue_peak_fraction_fwd": round(instr_fwd / ISSUE_PEAK, 2),
                     "vpu_issue_peak_fraction_fwd_grad": round(instr_grad / ISSUE_PEAK, 2),
+                    **step_extra,
                 },
             }
         )

@@ -19,7 +19,7 @@ logger = logging.getLogger(__name__)
 
 
 def get_kernel(M: int, data, double_precision: bool = False, backend: str = None,
-               mesh=None, seg_len: int = None):
+               mesh=None, seg_len=None, tune_shape: tuple = None):
     """Return a likelihood kernel for the int8 chunk tensor `data`.
 
     Args:
@@ -34,12 +34,26 @@ def get_kernel(M: int, data, double_precision: bool = False, backend: str = None
             devices.
         seg_len: override the Pallas/dense segment length (sites per grid
             step); None keeps each backend's tuned default.  Small values
-            are used by interpret-mode dry runs.
+            are used by interpret-mode dry runs.  The string "auto" runs the
+            one-shot on-device autotune (ops/autotune.py, cached per device
+            kind + shape) when the Pallas backend is selected, and falls
+            back to the default elsewhere.
+        tune_shape: (B, S) used by seg_len="auto" to time the kernel at a
+            realistic batch shape; defaults to the reference workload
+            (500 particles, 5 chunks).
     """
-    seg_kw = {"seg_len": seg_len} if seg_len else {}
     if backend is None:
         platform = jax.default_backend()
         backend = "pallas" if platform == "tpu" else "dense"
+    if seg_len == "auto":
+        if backend == "pallas":
+            from phlash_tpu.ops.autotune import autotune_seg_len
+
+            B, S = tune_shape or (500, 5)
+            seg_len = autotune_seg_len(L=int(data.shape[-1]), B=B, S=S)
+        else:
+            seg_len = None  # autotune targets the Pallas kernel only
+    seg_kw = {"seg_len": seg_len} if seg_len else {}
     if backend == "pallas":
         try:
             from phlash_tpu.ops.kernel_smc import SMCKernel

@@ -20,10 +20,17 @@ steps_per_call (chain this many SVGD iterations inside each jitted
 dispatch via lax.scan — amortizes per-call host/dispatch overhead when
 the step graph is only a few ms; periodic finiteness/ELPD/checkpoint
 cadences then land on the first call at or after their scheduled
-iteration; defaults to 10 on accelerator backends and 1 on CPU), and
+iteration; defaults to 10 on accelerator backends and 1 on CPU),
+kernel_seg_len (sites per Pallas grid step; the string "auto" runs a
+one-shot on-device autotune over {128, 256, 512} at this run's batch
+shape, cached per device kind + shape under ~/.cache/phlash_tpu), and
 double_precision_params (default False: the particle cloud and the
 differentiated assembly graph run in float32 — verified to match the f64
 graph's posterior recovery at ~2.2x the fit speed; True restores f64).
+
+With test_data given, the held-out ELPD is computed inside the jitted
+step call itself (returned as an aux scalar), so an ELPD-bearing call is
+one dispatch, not a step dispatch plus a separate evaluation call.
 
 Return contract: with `test_data` given, `fit` returns the particle cloud
 from the iteration with the best held-out ELPD (not the final iterate —
@@ -125,21 +132,28 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
         test_afs = jnp.asarray(d["afs"]) if d["afs"] is not None else None
         het = d["het_matrix"][: options.get("max_samples", 20)]
         N_test = het.shape[0]
+        seg_opt = options.get("kernel_seg_len")
+        if seg_opt == "auto":
+            # reuse the training kernel's tuned segment rather than paying a
+            # second autotune for the (rare) held-out evaluation launches
+            seg_opt = getattr(prog.kern, "seg_len", None)
         test_kern = get_kernel(
             M=prog.init.M,
             data=np.ascontiguousarray(het),
             double_precision=options.get("double_precision", False),
             backend=options.get("kernel_backend"),
             mesh=mesh,
-            seg_len=options.get("kernel_seg_len"),
+            seg_len=seg_opt,
         )
         test_T = None
         if test_afs is not None and prog.afs_transform is not None:
             if prog.afs_transform.shape[1] == len(test_afs):
                 test_T = prog.afs_transform
 
-        @jax.jit
-        def elpd(particles):
+        def elpd_core(particles):
+            # un-jitted on purpose: fused into the step graph below, so an
+            # ELPD-bearing call is a single dispatch (step chain + held-out
+            # density), not a second jitted call + host roundtrip
             return log_density_batched(
                 particles,
                 c=jnp.array([0.0, 1.0, 1.0], dtype=jnp.float32),
@@ -180,21 +194,37 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     # compiled graph, built lazily) lands exactly on niter when
     # steps_per_call does not divide it.
     spc = prog.steps_per_call
-    _steps = {spc: step}
+    _steps = {(spc, False): step}
 
-    def step_of(k: int):
-        "The jitted k-iteration step; k=spc is the prebuilt default."
-        if k not in _steps:
+    def step_of(k: int, with_elpd: bool = False):
+        """The jitted k-iteration step; (k=spc, no ELPD) is the prebuilt one.
+
+        With ``with_elpd`` the held-out ELPD of the post-step particles is
+        computed inside the same jitted graph and returned as a replicated
+        scalar aux output — an ELPD-bearing call then costs one dispatch,
+        not two (the default cadences make *every* call ELPD-bearing when
+        test_data is given, so only the fused graph ever compiles).
+        """
+        if (k, with_elpd) not in _steps:
             from phlash_tpu.training import make_multi_step
 
             fn = prog.base_step if k == 1 else make_multi_step(prog.base_step, k)
+            if with_elpd:
+                base = fn
+
+                def fn(s, kk):
+                    s2 = base(s, kk)
+                    return s2, elpd_core(s2.particles)
+
             if mesh is not None:
                 from phlash_tpu.parallel import shard_training_step
 
-                _steps[k] = shard_training_step(fn, mesh)[1](state)
+                _steps[(k, with_elpd)] = shard_training_step(
+                    fn, mesh, aux_out=with_elpd
+                )[1](state)
             else:
-                _steps[k] = jax.jit(fn)
-        return _steps[k]
+                _steps[(k, with_elpd)] = jax.jit(fn)
+        return _steps[(k, with_elpd)]
 
     # optional checkpoint/resume (new vs the reference; SURVEY.md §5)
     ckpt_path = options.get("checkpoint_path")
@@ -261,7 +291,11 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     for i in pbar:
         k = min(spc, niter - i)  # the final call may be partial
         key, sub = jax.random.split(key)
-        new_state = step_of(k)(state, sub)
+        want_elpd = test_data is not None and i >= next_elpd
+        if want_elpd:
+            new_state, e_dev = step_of(k, with_elpd=True)(state, sub)
+        else:
+            new_state = step_of(k)(state, sub)
         if i >= next_check or i + k >= niter:
             next_check = i + check_every
             flat, _ = ravel_pytree(new_state.particles)
@@ -284,9 +318,9 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
                 ),
                 _treedef_cache,
             )
-        if test_data is not None and i >= next_elpd:
+        if want_elpd:
             next_elpd = i + 10
-            e = float(elpd(state.particles))
+            e = float(e_dev)
             ema = e if ema is None else 0.9 * ema + 0.1 * e
             if best_elpd is None or ema > best_elpd[1]:
                 patience = 0

@@ -66,7 +66,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_training_step(step_fn, mesh: Mesh):
+def shard_training_step(step_fn, mesh: Mesh, aux_out: bool = False):
     """Jit a (state, key) -> state SVGD step with mesh shardings.
 
     The SVGD state (particles + optimizer moments) is sharded over the
@@ -74,6 +74,10 @@ def shard_training_step(step_fn, mesh: Mesh):
     matrix of the SVGD kernel needs all particles — XLA inserts the
     all-gather (tiny: P x ~19 floats) while the heavy per-particle HMM
     work stays sharded.
+
+    With ``aux_out=True`` the step function returns ``(state, aux)`` where
+    ``aux`` is a replicated scalar/array (used by the fused in-call ELPD
+    evaluation); the output sharding becomes (state shardings, replicated).
     """
     p_shard = particle_sharding(mesh)
     r_shard = replicated(mesh)
@@ -94,6 +98,7 @@ def shard_training_step(step_fn, mesh: Mesh):
 
     def jit_step(example_state):
         ss = shard_state(example_state)
-        return jax.jit(step_fn, in_shardings=(ss, r_shard), out_shardings=ss)
+        out = (ss, r_shard) if aux_out else ss
+        return jax.jit(step_fn, in_shardings=(ss, r_shard), out_shardings=out)
 
     return place, jit_step

@@ -186,6 +186,8 @@ def build_training(
         backend=options.get("kernel_backend"),
         mesh=mesh,
         seg_len=options.get("kernel_seg_len"),
+        # seg_len="auto" times the kernel at this run's actual batch shape
+        tune_shape=(num_particles, S),
     )
 
     # unbiased minibatch gradients: HMM term scaled by N / S.  f32-pinned:
