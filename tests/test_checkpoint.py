@@ -1,5 +1,7 @@
 """Checkpoint/resume and profiling-counter tests (new vs the reference)."""
 
+import os
+
 import jax
 import pytest
 import jax.numpy as jnp
@@ -32,6 +34,52 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.random.key_data(back.key), jax.random.key_data(key)
     )
     for a, b in zip(jax.tree.leaves(back.state), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_best_state_sidecar_dedup(tmp_path):
+    """best_state lives in a sidecar rewritten only when it changes, and a
+    best-== -current checkpoint stores one state, not two."""
+    _, state = _toy_state()
+    best = jax.tree.map(lambda a: a + 1.0, state)
+    path = str(tmp_path / "ckpt.npz")
+    side = path + ".best.npz"
+    key = jax.random.PRNGKey(0)
+    cache = {}
+
+    save_checkpoint(
+        path,
+        TrainCheckpoint(step=10, state=state, key=key, ema=-1.0, best_step=6,
+                        best_ema=-0.5, best_state=best),
+        cache,
+    )
+    assert os.path.exists(side)
+    mtime = os.path.getmtime(side)
+    back = load_checkpoint(path, state)
+    for a, b in zip(jax.tree.leaves(back.best_state), jax.tree.leaves(best)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # same best iterate again: the sidecar must NOT be rewritten
+    save_checkpoint(
+        path,
+        TrainCheckpoint(step=20, state=state, key=key, ema=-1.0, best_step=6,
+                        best_ema=-0.5, best_state=best),
+        cache,
+    )
+    assert os.path.getmtime(side) == mtime
+
+    # best == current: recorded by flag, no best arrays duplicated anywhere
+    save_checkpoint(
+        path,
+        TrainCheckpoint(step=30, state=state, key=key, ema=-1.0, best_step=30,
+                        best_ema=-0.2, best_state=state),
+        cache,
+    )
+    with np.load(path) as z:
+        assert not any(k.startswith("best_") for k in z.files)
+    back = load_checkpoint(path, state)
+    assert back.best_step == 30
+    for a, b in zip(jax.tree.leaves(back.best_state), jax.tree.leaves(state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
@@ -106,6 +154,35 @@ def test_fit_resume_steps_per_call(tmp_path):
     assert back is not None and back.step % 3 == 0 and back.step >= 3
     res = fit([c], niter=9, **kw)
     assert len(res) == 4
+
+
+@pytest.mark.slow  # three fit() compiles
+def test_fit_resume_matches_uninterrupted(tmp_path):
+    """Interrupted + resumed == uninterrupted, bit for bit, under the
+    strided loop: a run killed after its step-3 save and restarted must
+    produce exactly the posterior of a straight niter=6 run (the resumed
+    key/minibatch/ELPD streams may not drift)."""
+    from phlash_tpu.data import RawContig
+    from phlash_tpu.mcmc import fit
+
+    het = np.random.default_rng(2).integers(0, 2, size=(1, 3000)).astype(np.int8)
+    c = RawContig(het_matrix=het, afs=np.array([4, 2, 1]), window_size=100)
+    kw = dict(
+        num_particles=4, overlap=10, chunk_size=300, num_workers=1,
+        progress=False, kernel_backend="dense", steps_per_call=3,
+        minibatch_size=2, key=jax.random.PRNGKey(11),
+    )
+    want = fit([c], niter=6, **kw)  # uninterrupted, no checkpointing
+
+    path = str(tmp_path / "interrupted.npz")
+    fit([c], niter=3, checkpoint_path=path, save_every=3, **kw)  # "killed" at 3
+    got = fit([c], niter=6, checkpoint_path=path, save_every=3, **kw)  # resumes
+
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g.eta.c), np.asarray(w.eta.c))
+        np.testing.assert_array_equal(np.asarray(g.eta.t), np.asarray(w.eta.t))
+        np.testing.assert_array_equal(np.asarray(g.theta), np.asarray(w.theta))
 
 
 def test_step_meter():
