@@ -45,12 +45,17 @@ def get_kernel(M: int, data, double_precision: bool = False, backend: str = None
     if backend is None:
         platform = jax.default_backend()
         backend = "pallas" if platform == "tpu" else "dense"
+    tuned_for_pallas = False
     if seg_len == "auto":
         if backend == "pallas":
             from phlash_tpu.ops.autotune import autotune_seg_len
 
             B, S = tune_shape or (500, 5)
-            seg_len = autotune_seg_len(L=int(data.shape[-1]), B=B, S=S)
+            seg_len = autotune_seg_len(
+                L=int(data.shape[-1]), B=B, S=S, M=M,
+                double_precision=double_precision, mesh=mesh,
+            )
+            tuned_for_pallas = True
         else:
             seg_len = None  # autotune targets the Pallas kernel only
     seg_kw = {"seg_len": seg_len} if seg_len else {}
@@ -65,6 +70,10 @@ def get_kernel(M: int, data, double_precision: bool = False, backend: str = None
         except Exception as e:  # pragma: no cover - platform dependent
             logger.warning("Pallas kernel unavailable (%s); using dense XLA kernel", e)
             backend = "dense"
+            if tuned_for_pallas:
+                # a seg_len tuned for the Pallas kernel is meaningless for
+                # dense; let DenseKernel apply its own heuristic
+                seg_kw = {}
     if backend == "pallas_mxu":  # kept for A/B benchmarking
         from phlash_tpu.ops.kernel_pallas import PallasKernel
 

@@ -77,21 +77,43 @@ def _time_grad(kern, pps, inds, reps: int = 2, inner: int = 5) -> float:
 
 
 def autotune_seg_len(
-    L: int, B: int, S: int, candidates: tuple[int, ...] = CANDIDATES
+    L: int,
+    B: int,
+    S: int,
+    M: int = 16,
+    double_precision: bool = False,
+    mesh=None,
+    candidates: tuple[int, ...] = CANDIDATES,
 ) -> int:
     """Pick the fastest Pallas seg_len for chunks of length L at (B, S).
 
-    Returns the cached winner when this (device kind, L, B, S) was tuned
-    before; otherwise builds a synthetic-data kernel per candidate, times
-    the fwd+grad path, persists and returns the fastest.  Falls back to
-    the shipped default on any failure (e.g. non-TPU platform).
+    Returns the cached winner when this exact configuration — device kind
+    and count, mesh shape, L, B, S, M, precision — was tuned before;
+    otherwise builds a synthetic-data kernel per candidate at the caller's
+    real configuration, times the fwd+grad path, persists and returns the
+    fastest.  Falls back to the shipped default on ANY failure (setup or
+    per-candidate), so a broken tune can never abort fit().
     """
+    from phlash_tpu.ops.pallas_smc import DEFAULT_SEG
+
+    try:
+        return _autotune_seg_len(L, B, S, M, double_precision, mesh, candidates)
+    except Exception as e:  # pragma: no cover - platform dependent
+        logger.warning("seg_len autotune failed (%s); using default %d", e, DEFAULT_SEG)
+        return DEFAULT_SEG
+
+
+def _autotune_seg_len(L, B, S, M, double_precision, mesh, candidates) -> int:
     import jax
 
     from phlash_tpu.ops.pallas_smc import DEFAULT_SEG
 
     dev = jax.devices()[0]
-    key = f"{dev.device_kind}|L={L}|B={B}|S={S}"
+    mesh_tag = "x".join(map(str, mesh.devices.shape)) if mesh is not None else "1"
+    key = (
+        f"{dev.device_kind}|n={len(jax.devices())}|mesh={mesh_tag}"
+        f"|L={L}|B={B}|S={S}|M={M}|f64={int(bool(double_precision))}"
+    )
     cache = _load_cache()
     if key in cache:
         logger.debug("autotune cache hit: %s -> seg_len=%d", key, cache[key])
@@ -106,15 +128,18 @@ def autotune_seg_len(
 
     rng = np.random.default_rng(0)
     data = rng.binomial(1, 0.05, size=(max(S, 1), L)).astype(np.int8)
-    dm = DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
-    pp = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm))
+    dm = DemographicModel.default(pattern=f"{M}*1", theta=1e-2, rho=1e-2)
+    ftype = jnp.float64 if double_precision else jnp.float32
+    pp = jax.tree.map(lambda a: a.astype(ftype), PSMCParams.from_dm(dm))
     pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp)
     inds = jnp.arange(S)
 
     results: dict[int, float] = {}
     for seg in candidates:
         try:
-            kern = SMCKernel(M_=16, data=data, seg_len=seg)
+            kern = SMCKernel(
+                M_=M, data=data, double_precision=double_precision, mesh=mesh, seg_len=seg
+            )
             results[seg] = _time_grad(kern, pps, inds)
             logger.info("autotune seg_len=%d: %.2f ms", seg, results[seg] * 1e3)
         except Exception as e:  # pragma: no cover - platform dependent

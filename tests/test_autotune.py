@@ -15,6 +15,14 @@ def tune_cache(tmp_path, monkeypatch):
     return path
 
 
+def _default_pp():
+    from phlash_tpu.params import PSMCParams
+    from phlash_tpu.size_history import DemographicModel
+
+    dm = DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
+    return PSMCParams.from_dm(dm)
+
+
 def test_autotune_picks_fastest_and_caches(tune_cache, monkeypatch):
     fake = {128: 3.0, 256: 1.0, 512: 2.0}
     calls = []
@@ -50,14 +58,48 @@ def test_autotune_failure_falls_back_to_default(tune_cache, monkeypatch):
     assert autotune.autotune_seg_len(L=1000, B=4, S=2) == DEFAULT_SEG
 
 
+def test_autotune_setup_failure_falls_back_to_default(tune_cache, monkeypatch):
+    # an exception BEFORE candidate timing (device query, data synthesis)
+    # must also resolve to the default instead of propagating into fit()
+    from phlash_tpu.ops.pallas_smc import DEFAULT_SEG
+
+    import jax
+
+    def boom(*a, **kw):
+        raise RuntimeError("no backend")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    assert autotune.autotune_seg_len(L=1000, B=4, S=2) == DEFAULT_SEG
+
+
+def test_autotune_cache_key_includes_m_and_precision(tune_cache, monkeypatch):
+    # a winner tuned at M=16/f32 must not be reused for M=32 or f64 runs
+    fake = {128: 3.0, 256: 1.0, 512: 2.0}
+    timed = []
+
+    def fake_time(kern, pps, inds, **kw):
+        timed.append(kern.seg_len)
+        return fake[kern.seg_len]
+
+    monkeypatch.setattr(autotune, "_time_grad", fake_time)
+    assert autotune.autotune_seg_len(L=1000, B=4, S=2) == 256
+    assert len(timed) > 0
+    # f64 is a different cache key; the structured kernel is f32-only, so
+    # every candidate fails to build and the default is returned instead of
+    # the cached f32 winner being (wrongly) reused
+    from phlash_tpu.ops.pallas_smc import DEFAULT_SEG
+
+    assert autotune.autotune_seg_len(L=1000, B=4, S=2, double_precision=True) == DEFAULT_SEG
+
+
 def test_get_kernel_auto_on_cpu_uses_dense_default(tune_cache):
     # on CPU the default backend is dense; "auto" must not invoke the
     # Pallas autotune and must not leak the string into seg_len
     data = np.zeros((2, 64), dtype=np.int8)
     kern = get_kernel(M=16, data=data, seg_len="auto")
     assert type(kern).__name__ == "DenseKernel"
-    ll = kern.loglik_batched is not None or True  # constructed fine
-    assert ll
+    ll = kern.loglik(_default_pp(), 0)  # usable, not just constructed
+    assert jnp.isfinite(ll)
 
 
 def test_get_kernel_auto_pallas_uses_tuned_value(tune_cache, monkeypatch):
