@@ -48,15 +48,19 @@ def _pack_rows(x: jnp.ndarray, n_t: int, fill: float) -> jnp.ndarray:
     return x.reshape(n_t, LANES, M).transpose(0, 2, 1)
 
 
-def _unpack_ll(ll_row: jnp.ndarray, S: int, B: int) -> jnp.ndarray:
-    "(n_t, 128) -> (B, S); instance i = s * B + p."
-    return ll_row.reshape(-1)[: S * B].reshape(S, B).T
+def _unpack_ll(ll_row: jnp.ndarray, S: int, B: int, B_row: int) -> jnp.ndarray:
+    """(n_t, 128) -> (B, S); instance i = s * B_row + p.
+
+    B_row is the per-chunk instance stride: B for the dense layout,
+    ceil(B, 128) for the aligned layout (whose per-chunk padding lanes are
+    dropped here)."""
+    return ll_row.reshape(-1)[: S * B_row].reshape(S, B_row)[:, :B].T
 
 
-def _unpack_state(alpha: jnp.ndarray, S: int, B: int) -> jnp.ndarray:
-    "(n_t, M, 128) -> (B, S, M)."
-    x = alpha.transpose(0, 2, 1).reshape(-1, M)[: S * B]
-    return x.reshape(S, B, M).transpose(1, 0, 2)
+def _unpack_state(alpha: jnp.ndarray, S: int, B: int, B_row: int) -> jnp.ndarray:
+    "(n_t, M, 128) -> (B, S, M); B_row as in _unpack_ll."
+    x = alpha.transpose(0, 2, 1).reshape(-1, M)[: S * B_row]
+    return x.reshape(S, B_row, M)[:, :B].transpose(1, 0, 2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -135,52 +139,85 @@ class SMCKernel:
     def float_type(self):
         return jnp.float32
 
-    def _n_tiles(self, B: int, S: int) -> int:
-        "Lane tiles for B x S instances, padded for the mesh if present."
-        n_t = max(1, _ceil_to(B * S, LANES) // LANES)
+    def _mesh_tiles(self, n_t: int) -> int:
+        "Round a tile count up to the mesh's device count if present."
         if self.mesh is not None:
             n_t = _ceil_to(n_t, self.mesh.devices.size)
-        return n_t
+        return max(1, n_t)
+
+    def _layout(self, B: int, S: int):
+        """Choose the instance layout: ("aligned"|"dense", n_tiles, B_row).
+
+        aligned: each chunk's particle block is padded to a lane multiple so
+        every tile is chunk-uniform — the kernel's per-site observation
+        decode then runs at scalar-row width ((tb,1,1) shifts), which is
+        worth ~4% of fwd+grad throughput at the production shape.  Chosen
+        whenever it needs no more tiles than dense packing (e.g. B=500, S=5:
+        both need 20 tiles).
+
+        dense: instances packed back-to-back (i = s*B + p) with per-lane
+        (tb,1,128) chunk shifts — full lane occupancy for shapes where
+        aligned padding would cost extra tiles (e.g. B < 128 with many
+        chunks, or mesh-split tile counts)."""
+        n_aligned = self._mesh_tiles(S * (_ceil_to(B, LANES) // LANES))
+        n_dense = self._mesh_tiles(_ceil_to(B * S, LANES) // LANES)
+        if n_aligned <= n_dense:
+            return "aligned", n_aligned, _ceil_to(B, LANES)
+        return "dense", n_dense, B
 
     def _pack_instances(self, pps: PSMCParams, S: int):
         """Pack the (B, S) HMM instances into 128-lane tiles.
 
-        Instance i = s * B + p (chunk-major); every tile is filled with
-        real work regardless of how B relates to the lane width or the
-        device count — only the global tail (and mesh-divisibility) padding
-        is identity-HMM lanes.  Per-lane chunk identities travel in a
+        Instance i = s * B_row + p (chunk-major) with B_row the layout's
+        per-chunk stride (see _layout).  All padding lanes are identity
+        HMMs (d=1, unit emissions): their ll contribution is exactly 0.
+        Per-lane (dense) or per-tile (aligned) chunk identities travel in a
         `shifts` array the kernel streams alongside the parameters.
 
-        Returns (params6, pi, shifts, B).
+        Returns (params6, pi, shifts, B, B_row).
         """
         pi = pps.pi
         if pi.ndim == 2:  # chunk-invariant initial distribution
             pi = jnp.broadcast_to(pi[:, None, :], (pi.shape[0], S, M))
         B = pi.shape[0]
         first = lambda a: a[:, 0] if a.ndim == 3 else a  # noqa: E731
-        n_t = self._n_tiles(B, S)
+        layout, n_t, B_row = self._layout(B, S)
+
+        def chunk_rows(leaf2d, fill):
+            "(B, M) -> (S * B_row, M): per-chunk pad, then repeat per chunk."
+            padded = jnp.pad(leaf2d, [(0, B_row - B), (0, 0)], constant_values=fill)
+            return jnp.tile(padded, (S, 1))
 
         params = tuple(
             _pack_rows(
-                jnp.tile(first(getattr(pps, name)).astype(jnp.float32), (S, 1)),
+                chunk_rows(first(getattr(pps, name)).astype(jnp.float32), _PAD_VALUES[name]),
                 n_t,
                 _PAD_VALUES[name],
             )
             for name in _PARAM_ORDER
         )
-        pi_p = _pack_rows(
-            pi.astype(jnp.float32).transpose(1, 0, 2).reshape(S * B, M),
-            n_t,
-            _PAD_VALUES["pi"],
-        )
-        # 2 x chunk index per lane; static (numpy) so it folds at trace time.
-        # Padding lanes get shift 0: they read chunk 0's code, but identity
-        # emissions (e0 = e1 = 1) make any observation a no-op.
-        chunk_of = np.repeat(np.arange(S, dtype=np.int32), B)
-        shifts = np.zeros(n_t * LANES, dtype=np.int32)
-        shifts[: S * B] = 2 * chunk_of
-        shifts = jnp.asarray(shifts.reshape(n_t, 1, LANES))
-        return params, pi_p, shifts, B
+        pi_rows = jnp.pad(
+            pi.astype(jnp.float32).transpose(1, 0, 2),  # (S, B, M)
+            [(0, 0), (0, B_row - B), (0, 0)],
+            constant_values=_PAD_VALUES["pi"],
+        ).reshape(S * B_row, M)
+        pi_p = _pack_rows(pi_rows, n_t, _PAD_VALUES["pi"])
+
+        # 2 x chunk index; static (numpy) so it folds at trace time.
+        # Padding lanes/tiles get shift 0: they read chunk 0's code, but
+        # identity emissions (e0 = e1 = 1) make any observation a no-op.
+        if layout == "aligned":
+            pb = B_row // LANES
+            shifts = np.zeros(n_t, dtype=np.int32)
+            used = S * pb
+            shifts[:used] = 2 * (np.arange(used, dtype=np.int32) // pb)
+            shifts = jnp.asarray(shifts.reshape(n_t, 1, 1))
+        else:
+            chunk_of = np.repeat(np.arange(S, dtype=np.int32), B)
+            shifts = np.zeros(n_t * LANES, dtype=np.int32)
+            shifts[: S * B] = 2 * chunk_of
+            shifts = jnp.asarray(shifts.reshape(n_t, 1, LANES))
+        return params, pi_p, shifts, B, B_row
 
     def _run_op(self, params, pi, shifts, obs):
         """_structured_fwd_op, shard-mapped over the tile axis if meshed.
@@ -231,10 +268,10 @@ class SMCKernel:
                 sub = jax.tree.map(lambda a: a[:, lo:hi] if a.ndim == 3 else a, pps)
                 parts.append(self._loglik_impl(sub, rows[lo:hi]))
             return jnp.concatenate(parts, axis=1)
-        params, pi, shifts, B = self._pack_instances(pps, S)
+        params, pi, shifts, B, B_row = self._pack_instances(pps, S)
         obs = pallas_smc.pack_obs(rows, self.seg_len)
         ll, _ = self._run_op(params, pi, shifts, obs)
-        return _unpack_ll(ll, S, B)
+        return _unpack_ll(ll, S, B, B_row)
 
     def _filter_impl(self, pps: PSMCParams, rows: jnp.ndarray) -> jnp.ndarray:
         "(B, S, M) filtered states from particles + replicated prefix rows."
@@ -246,10 +283,10 @@ class SMCKernel:
                 sub = jax.tree.map(lambda a: a[:, lo:hi] if a.ndim == 3 else a, pps)
                 parts.append(self._filter_impl(sub, rows[lo:hi]))
             return jnp.concatenate(parts, axis=1)
-        params, pi, shifts, B = self._pack_instances(pps, S)
+        params, pi, shifts, B, B_row = self._pack_instances(pps, S)
         obs = pallas_smc.pack_obs(rows, self.seg_len)
         _ll, alpha = self._run_op(params, pi, shifts, obs)
-        return _unpack_state(alpha, S, B)
+        return _unpack_state(alpha, S, B, B_row)
 
     def loglik_batched(self, pps: PSMCParams, inds) -> jnp.ndarray:
         """(B, S) log-likelihoods; pps leaves (B, S, M) (non-pi leaves must be

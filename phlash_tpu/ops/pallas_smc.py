@@ -30,9 +30,10 @@ Performance notes (measured on v5e):
   scalar memory indexes freely).
 
 Layout:
-    lanes   instance i = s * B + p (chunk-major), densely packed into
-            128-lane tiles; each lane's chunk identity travels in a
-            streamed per-lane `shifts` array (see kernel_smc._pack_instances)
+    lanes   instance i = s * B_row + p (chunk-major) packed into 128-lane
+            tiles; B_row = B ("dense", per-lane chunk shifts) or B padded
+            to a lane multiple ("aligned", chunk-uniform tiles with cheap
+            per-tile shifts) — see kernel_smc._layout for the choice rule
     arrays  (n_t, M, 128) f32: [tile, state, instance-lane]
     obs     (n_seg, ROWS, seg_len // ROWS) int32 packed codes
 
@@ -140,12 +141,15 @@ def _transition(x, b, d, u, vv, iota):
 
 
 def _decode(code, chunk_shift):
-    """Packed int32 code -> per-lane (tb, 1, 128) observation codes.
+    """Packed int32 code -> observation codes shaped like chunk_shift.
 
-    chunk_shift: (tb, 1, 128) int32, 2x the chunk index of each lane's HMM
-    instance — lanes within one tile may belong to different chunks (the
-    packing fills every tile with (particle x chunk) instances; see
-    kernel_smc._pack_instances)."""
+    chunk_shift: int32, 2x the chunk index of each lane's HMM instance.
+    Two layouts (see kernel_smc._pack_instances): (tb, 1, 128) when lanes
+    within a tile may belong to different chunks (dense packing), or
+    (tb, 1, 1) when every lane of a tile shares one chunk (aligned packing)
+    — the latter keeps the per-site shift/and/compare work at scalar-row
+    width, which is worth ~8% of forward throughput at the production shape.
+    """
     c = jnp.broadcast_to(code, chunk_shift.shape).astype(jnp.int32)
     return lax.shift_right_logical(c, chunk_shift) & 3
 
@@ -228,8 +232,9 @@ def _i32(x):
 def forward_structured(params, pi, shifts, obs_packed, seg_len: int = DEFAULT_SEG,
                        with_residuals: bool = True):
     """params: tuple/list of 6 (n_t, M, 128) arrays b, d, u, vv, e0, e1;
-    pi (n_t, M, 128); shifts (n_t, 1, 128) int32 = 2x each lane's chunk
-    index; obs_packed (n_seg, ROWS, seg_len//ROWS).
+    pi (n_t, M, 128); shifts int32 = 2x the chunk index, either per-lane
+    (n_t, 1, 128) or per-tile (n_t, 1, 1) — see _decode; obs_packed
+    (n_seg, ROWS, seg_len//ROWS).
 
     Returns (ll (n_t, M, 128) state-redundant, final filtered state
     alpha (n_t, M, 128), pstates (n_seg, n_per, n_t, M, 128) — the filtered
@@ -244,7 +249,7 @@ def forward_structured(params, pi, shifts, obs_packed, seg_len: int = DEFAULT_SE
     tb = _pick_tb(n_t, FWD_TILE_BLOCK)
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((tb, 1, LANES), tile3, memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((tb, 1, shifts.shape[-1]), tile3, memory_space=pltpu.VMEM)
     out_specs = [p_spec, p_spec]
     out_shape = [
         jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
@@ -392,7 +397,7 @@ def backward_structured(params, shifts, obs_packed, pstates, gbar, abar0, seg_le
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     rev = lambda s: _np.int32(n_seg - 1) - _i32(s)  # noqa: E731
     p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((tb, 1, LANES), tile3, memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((tb, 1, shifts.shape[-1]), tile3, memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _make_bwd_kernel(tb),
         grid=(n_t // tb, n_seg),

@@ -66,39 +66,45 @@ def test_instance_packing_occupancy(sdata, f32_pp):
 
     B, S = 500, 5
     kern1 = SMCKernel(M_=16, data=sdata, seg_len=SEG)
-    n_t = kern1._n_tiles(B, S)
+    layout, n_t, _ = kern1._layout(B, S)
+    assert layout == "aligned"  # free at this shape -> cheap per-tile decode
     assert B * S / (n_t * LANES) >= 0.90  # 2500 / 2560 = 97.7%
 
     mesh = make_mesh(8)
     kern8 = SMCKernel(M_=16, data=sdata, seg_len=SEG, mesh=mesh)
-    n_t8 = kern8._n_tiles(B, S)
+    _, n_t8, _ = kern8._layout(B, S)
     assert n_t8 % mesh.devices.size == 0
     occ = B * S / (n_t8 * LANES)
     assert occ >= 0.80  # 2500 / 3072 = 81.4% (mesh-divisibility tail only)
     assert occ > 0.60  # strictly better than the r02 63/128 layout
+
+    # shapes where aligned padding would cost extra tiles stay dense
+    layout_d, n_t_d, B_row_d = kern1._layout(100, 5)
+    assert layout_d == "dense" and n_t_d == 4 and B_row_d == 100
 
 
 def test_instance_packing_roundtrip(sdata, f32_pp):
     "Pack -> unpack is the identity, and each lane's shift selects its chunk."
     from phlash_tpu.ops.kernel_smc import _unpack_ll, _unpack_state
 
-    B, S = 5, 3  # deliberately lane-indivisible
+    B, S = 5, 3  # deliberately lane-indivisible -> dense layout
     kern1 = SMCKernel(M_=16, data=sdata, seg_len=SEG)
     rng = np.random.default_rng(7)
     pi = jnp.asarray(rng.random((B, S, 16)), dtype=jnp.float32)
     pps = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (B, S) + a.shape), f32_pp
     )._replace(pi=pi)
-    params, pi_p, shifts, B_out = kern1._pack_instances(pps, S)
-    assert B_out == B
+    params, pi_p, shifts, B_out, B_row = kern1._pack_instances(pps, S)
+    assert B_out == B and B_row == B  # dense: stride is B itself
+    assert shifts.shape[-1] == 128  # per-lane chunk identities
     # pi roundtrip through the state unpacker (same layout as alpha)
     np.testing.assert_array_equal(
-        np.asarray(_unpack_state(pi_p, S, B)), np.asarray(pi)
+        np.asarray(_unpack_state(pi_p, S, B, B_row)), np.asarray(pi)
     )
     # ll-row roundtrip: instance i = s * B + p
     n_t = pi_p.shape[0]
     row = jnp.arange(n_t * 128, dtype=jnp.float32).reshape(n_t, 128)
-    ll = np.asarray(_unpack_ll(row, S, B))
+    ll = np.asarray(_unpack_ll(row, S, B, B_row))
     for p in range(B):
         for s in range(S):
             assert ll[p, s] == s * B + p
@@ -107,6 +113,36 @@ def test_instance_packing_roundtrip(sdata, f32_pp):
     want = np.zeros_like(flat)
     want[: S * B] = 2 * np.repeat(np.arange(S), B)
     np.testing.assert_array_equal(flat, want)
+
+
+def test_instance_packing_roundtrip_aligned(sdata, f32_pp):
+    "Aligned layout: chunk-uniform tiles, per-tile shifts, padded stride."
+    from phlash_tpu.ops.kernel_smc import LANES, _unpack_ll, _unpack_state
+
+    B, S = 200, 2  # aligned (2 tiles/chunk) costs the same 4 tiles as dense
+    kern1 = SMCKernel(M_=16, data=sdata, seg_len=SEG)
+    layout, n_t, B_row = kern1._layout(B, S)
+    assert layout == "aligned" and B_row == 256 and n_t == 4
+    rng = np.random.default_rng(8)
+    pi = jnp.asarray(rng.random((B, S, 16)), dtype=jnp.float32)
+    pps = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B, S) + a.shape), f32_pp
+    )._replace(pi=pi)
+    params, pi_p, shifts, B_out, B_row2 = kern1._pack_instances(pps, S)
+    assert (B_out, B_row2) == (B, B_row)
+    assert shifts.shape == (n_t, 1, 1)  # per-tile: cheap scalar-row decode
+    np.testing.assert_array_equal(
+        np.asarray(shifts).reshape(-1), 2 * (np.arange(n_t) // (B_row // LANES))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(_unpack_state(pi_p, S, B, B_row)), np.asarray(pi)
+    )
+    # ll-row roundtrip: instance i = s * B_row + p, per-chunk padding dropped
+    row = jnp.arange(n_t * 128, dtype=jnp.float32).reshape(n_t, 128)
+    ll = np.asarray(_unpack_ll(row, S, B, B_row))
+    for s in range(S):
+        assert ll[0, s] == s * B_row
+        assert ll[B - 1, s] == s * B_row + B - 1
 
 
 def test_smc_values_match_oracle(sdata, kern, f32_pp):

@@ -68,6 +68,31 @@ def main() -> int:
         failures += status == "FAIL"
         print(f"grad {name}: maxrel {rel:.2e} {status}")
 
+    # aligned layout (chunk-uniform tiles, per-tile shift decode): B a lane
+    # multiple selects it; value+grad must match the dense backend exactly
+    # like the dense layout above (the production B=500, S=5 shape is
+    # aligned too)
+    B2 = 256
+    layout, _, _ = kern._layout(B2, S)
+    pps2 = jax.tree.map(lambda a: jnp.broadcast_to(a, (B2, S) + a.shape), pp)
+    ll2 = np.asarray(kern.loglik_batched(pps2, inds))
+    rel = abs(ll2[0, 0] - float(psmc_ll(pp, jnp.asarray(data[0]))[1])) / abs(ll2[0, 0])
+    status = "ok" if (layout == "aligned" and rel < 1e-4) else "FAIL"
+    failures += status == "FAIL"
+    print(f"aligned layout value (B={B2}): layout {layout} rel {rel:.2e} {status}")
+    W2 = jnp.linspace(0.5, 1.5, B2 * S).reshape(B2, S)
+    gp2 = jax.grad(lambda p: (kern.loglik_batched(p, inds) * W2).sum())(pps2)
+    gd2 = jax.grad(lambda p: (dkern.loglik_batched(p, inds) * W2).sum())(pps2)
+    worst = 0.0
+    for name, a, b in zip(pps._fields, gp2, gd2):
+        a, b = np.asarray(a), np.asarray(b)
+        if name != "pi":
+            a, b = a.sum(1), b.sum(1)
+        worst = max(worst, np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+    status = "ok" if worst < 1e-3 else "FAIL"
+    failures += status == "FAIL"
+    print(f"aligned layout grads (B={B2}): maxrel {worst:.2e} {status}")
+
     # production kernel under a mesh: one full SVGD step, sharded vs not.
     # (single-chip machines get a (1, 1) mesh — still the shard_map path.)
     from phlash_tpu.parallel import make_mesh, shard_training_step
