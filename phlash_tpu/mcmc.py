@@ -30,7 +30,12 @@ graph's posterior recovery at ~2.2x the fit speed; True restores f64).
 
 With test_data given, the held-out ELPD is computed inside the jitted
 step call itself (returned as an aux scalar), so an ELPD-bearing call is
-one dispatch, not a step dispatch plus a separate evaluation call.
+one dispatch, not a step dispatch plus a separate evaluation call.  The
+held-out contig is chunked like the training data and each evaluation
+visits a fresh random subset of `elpd_samples` test chunks (default:
+max(minibatch_size, 4)) — the EMA absorbs the subsampling noise, and a
+whole-chromosome hold-out no longer costs a full-contig scan every 10
+iterations (fwd-only ELPD work stays within ~2 training steps).
 
 Return contract: with `test_data` given, `fit` returns the particle cloud
 from the iteration with the best held-out ELPD (not the final iterate —
@@ -131,7 +136,22 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
         d = test_data.get_data(window_size)
         test_afs = jnp.asarray(d["afs"]) if d["afs"] is not None else None
         het = d["het_matrix"][: options.get("max_samples", 20)]
-        N_test = het.shape[0]
+        # chunk the held-out rows exactly like the training data and
+        # evaluate the ELPD on a random subsample of chunks per evaluation
+        # (a fresh subset each time; the EMA absorbs the sampling noise).
+        # A whole-chromosome hold-out otherwise costs a full-contig scan
+        # per evaluation, which at genome scale dominates the fit by ~100x
+        # (r3 verdict weak item 3).  `elpd_samples` chunks are visited per
+        # evaluation; the default keeps the fwd-only ELPD work within ~2
+        # training steps, i.e. <= ~20% of step time at the 10-iter cadence.
+        from phlash_tpu.data import chunk_het_matrix
+
+        chunk_span = int(chunks.shape[-1])
+        test_chunks = chunk_het_matrix(
+            het, overlap=overlap, chunk_size=chunk_span - overlap
+        )
+        N_test = len(test_chunks)
+        S_elpd = min(N_test, int(options.get("elpd_samples", max(prog.S, 4))))
         seg_opt = options.get("kernel_seg_len")
         if seg_opt == "auto":
             # reuse the training kernel's tuned segment rather than paying a
@@ -139,29 +159,39 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
             seg_opt = getattr(prog.kern, "seg_len", None)
         test_kern = get_kernel(
             M=prog.init.M,
-            data=np.ascontiguousarray(het),
+            data=np.ascontiguousarray(test_chunks[:, overlap:]),
             double_precision=options.get("double_precision", False),
             backend=options.get("kernel_backend"),
             mesh=mesh,
             seg_len=seg_opt,
         )
+        test_warmup = jnp.asarray(
+            np.ascontiguousarray(test_chunks[:, :overlap]), dtype=jnp.int8
+        )
+        if mesh is not None:
+            from phlash_tpu.parallel import chunk_sharding
+
+            test_warmup = jax.device_put(test_warmup, chunk_sharding(mesh))
         test_T = None
         if test_afs is not None and prog.afs_transform is not None:
             if prog.afs_transform.shape[1] == len(test_afs):
                 test_T = prog.afs_transform
 
-        def elpd_core(particles):
+        def elpd_core(particles, k_elpd):
             # un-jitted on purpose: fused into the step graph below, so an
             # ELPD-bearing call is a single dispatch (step chain + held-out
             # density), not a second jitted call + host roundtrip
+            if S_elpd == N_test:
+                inds = jnp.arange(N_test)
+            else:
+                inds = jax.random.choice(k_elpd, N_test, (S_elpd,), replace=False)
             return log_density_batched(
                 particles,
                 c=jnp.array([0.0, 1.0, 1.0], dtype=jnp.float32),
-                inds=jnp.arange(N_test),
-                # zero-width warmup: the model passes pi through untouched
-                # instead of launching a padded filter kernel over the
-                # held-out rows (they have no preceding context to filter)
-                warmup=jnp.zeros([N_test, 0], dtype=jnp.int8),
+                inds=inds,
+                # each held-out chunk's overlap prefix localizes its
+                # filtering distribution, exactly as in training
+                warmup=test_warmup[inds],
                 kern=test_kern,
                 afs=test_afs,
                 afs_transform=test_T,
@@ -214,7 +244,10 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
 
                 def fn(s, kk):
                     s2 = base(s, kk)
-                    return s2, elpd_core(s2.particles)
+                    # fold_in, not split: the step's own key stream must be
+                    # identical whether or not this call carries an ELPD
+                    # evaluation (cadence/resume exactness)
+                    return s2, elpd_core(s2.particles, jax.random.fold_in(kk, 0x0E1D))
 
             if mesh is not None:
                 from phlash_tpu.parallel import shard_training_step
