@@ -143,8 +143,13 @@ def main():
 
     # roofline accounting (docs/DESIGN.md "Roofline"): counted block-ops per
     # site per 128-instance tile, x2 native (8,128) instrs per (16,128) op,
-    # against the v5e VPU 4-port issue peak (4 x ~940 MHz).
-    OPS_FWD, OPS_BWD, ISSUE_PEAK = 41.375, 94.0, 3.76e9
+    # against the v5e VPU 4-port issue ceiling.  The clock is derived from
+    # the chip's published 197 bf16 TFLOP/s and its 4 128x128 MXUs:
+    # 197.4e12 / (4*128*128*2) = 1.51 GHz, so 4 ports x 1.51 GHz = 6.02e9
+    # native instr/s.  (r3 used 940 MHz — a v4-era figure — which put the
+    # measured kernel at >100% of "peak"; see DESIGN.md for the full
+    # reconciliation incl. the tools/vpu_peak.py measured lower bound.)
+    OPS_FWD, OPS_BWD, ISSUE_PEAK = 41.375, 94.0, 6.02e9
     instr_fwd = ours_fwd * 1e6 / 128 * OPS_FWD * 2
     instr_grad = ours * 1e6 / 128 * (OPS_FWD + OPS_BWD) * 2
 

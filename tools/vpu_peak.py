@@ -11,12 +11,16 @@ micro-kernels on shapes matching the production kernel's working set
 * mix  — a production-like blend: roll + mask-select + fma per step
 
 Each is swept over the number of independent dependence chains (streams):
-few streams are latency-bound, many streams saturate the issue rate.  The
-maximum sustained rate across kernels/streams is the *empirical issue
-ceiling* used as the roofline denominator (bench.py MEASURED_PEAK) — a
-spec-derived "ports x clock" guess put the production kernel at >100% of
-"peak" (r3 verdict weak item 2), i.e. the guess was low, so the denominator
-is now measured, not assumed.
+few streams are latency-bound, many streams spill VMEM registers, so the
+maximum sustained rate across kernels/streams is a measured LOWER BOUND on
+the machine's issue ceiling — on the attached v5e it is 2.04 G native
+instr/s (mix, 4 streams), well below what the production kernel itself
+sustains (~3.4-3.6 G counted), proving these chains are latency-bound, not
+issue-bound.  The roofline denominator in bench.py is therefore NOT this
+number: it is the 4-port issue ceiling at the v5e clock derived from the
+chip's published 197 bf16 TFLOP/s (197.4e12 / (4 MXUs x 128x128x2) =
+1.51 GHz -> 6.02e9 instr/s).  r3's >100% "peak fraction" (verdict weak
+item 2) came from using a v4-era 940 MHz clock in that formula.
 
 Rates are reported as native (8, 128) vector instructions/s, counting an
 fma as ONE issued instruction (the VPU fuses it) and each elementwise op or
@@ -146,8 +150,12 @@ def main():
         line = "  ".join(f"s={s}: {r / 1e9:5.2f}" for s, r in rates.items())
         print(f"{which:5s} Ginstr/s  {line}   (best s={best_s})")
         overall = max(overall, rates[best_s])
-    print(f"empirical issue ceiling: {overall / 1e9:.2f} G native instr/s")
-    print("-> use as MEASURED_PEAK in bench.py / docs/DESIGN.md roofline")
+    print(f"measured micro-kernel maximum: {overall / 1e9:.2f} G native instr/s")
+    print(
+        "-> a LOWER bound on the issue ceiling (dependent chains are "
+        "latency-bound); the roofline denominator is the derived 4-port "
+        "ceiling 6.02e9 instr/s — see bench.py / docs/DESIGN.md"
+    )
 
 
 if __name__ == "__main__":
