@@ -23,7 +23,10 @@ def get_kernel(M: int, data, double_precision: bool = False, backend: str = None
     """Return a likelihood kernel for the int8 chunk tensor `data`.
 
     Args:
-        M: number of TMRCA discretization intervals (16 is the tuned value).
+        M: number of TMRCA discretization intervals.  16 is the tuned
+            production value; the TPU Pallas backend accepts any power-of-two
+            multiple of 8 (8/16/32/64 — ops/pallas_smc.SUPPORTED_M); other M
+            falls back to the dense backend with a logged warning.
         data: int8 array (num_chunks, chunk_len).
         double_precision: use float64 state (slow on TPU; CPU testing only).
         backend: force "scan" (O(M) oracle), "dense" (batched XLA), or

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from phlash_tpu.ops import pallas_smc
-from phlash_tpu.ops.pallas_smc import DEFAULT_SEG, LANES, M, MAX_CHUNKS
+from phlash_tpu.ops.pallas_smc import DEFAULT_SEG, LANES, MAX_CHUNKS, SUPPORTED_M
 from phlash_tpu.params import PSMCParams
 from phlash_tpu.size_history import DemographicModel
 
@@ -36,16 +36,18 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 # identity-HMM padding values per leaf: d=1 transition keeps state, unit
-# emissions, uniform pi -> ll contribution exactly 0 for padded lanes
-_PAD_VALUES = dict(b=0.0, d=1.0, u=0.0, v=0.0, emis0=1.0, emis1=1.0, pi=1.0 / M)
+# emissions -> ll contribution exactly 0 for padded lanes (pi pads with
+# the uniform 1/M, computed where the state count is known)
+_PAD_VALUES = dict(b=0.0, d=1.0, u=0.0, v=0.0, emis0=1.0, emis1=1.0)
 _PARAM_ORDER = ("b", "d", "u", "v", "emis0", "emis1")
 
 
 def _pack_rows(x: jnp.ndarray, n_t: int, fill: float) -> jnp.ndarray:
     "(N_inst, M) instance-major -> (n_t, M, 128), tail lanes filled."
+    m = x.shape[1]
     pad = n_t * LANES - x.shape[0]
     x = jnp.pad(x, [(0, pad), (0, 0)], constant_values=fill)
-    return x.reshape(n_t, LANES, M).transpose(0, 2, 1)
+    return x.reshape(n_t, LANES, m).transpose(0, 2, 1)
 
 
 def _unpack_ll(ll_row: jnp.ndarray, S: int, B: int, B_row: int) -> jnp.ndarray:
@@ -59,8 +61,9 @@ def _unpack_ll(ll_row: jnp.ndarray, S: int, B: int, B_row: int) -> jnp.ndarray:
 
 def _unpack_state(alpha: jnp.ndarray, S: int, B: int, B_row: int) -> jnp.ndarray:
     "(n_t, M, 128) -> (B, S, M); B_row as in _unpack_ll."
-    x = alpha.transpose(0, 2, 1).reshape(-1, M)[: S * B_row]
-    return x.reshape(S, B_row, M)[:, :B].transpose(1, 0, 2)
+    m = alpha.shape[1]
+    x = alpha.transpose(0, 2, 1).reshape(-1, m)[: S * B_row]
+    return x.reshape(S, B_row, m)[:, :B].transpose(1, 0, 2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -85,7 +88,8 @@ def _structured_fwd_op_fwd(params, pi, shifts, obs, seg_len):
 def _structured_fwd_op_bwd(seg_len, res, cot):
     params, shifts, obs, pstates = res
     g, abar0 = cot
-    gbar = jnp.broadcast_to(g[:, None, :], (g.shape[0], M, g.shape[1]))
+    m = params[0].shape[1]
+    gbar = jnp.broadcast_to(g[:, None, :], (g.shape[0], m, g.shape[1]))
     dparams, dpi = pallas_smc.backward_structured(
         params, shifts, obs, pstates, gbar, abar0, seg_len
     )
@@ -114,8 +118,11 @@ class SMCKernel:
     def __init__(self, M_: int = None, data=None, double_precision: bool = False,
                  seg_len: int = DEFAULT_SEG, mesh=None, **kw):
         M_ = M_ or kw.pop("M", 16)
-        if M_ != M:
-            raise ValueError(f"the TPU kernel requires M={M}, got {M_}")
+        if M_ not in SUPPORTED_M:
+            raise ValueError(
+                f"the TPU kernel supports M in {SUPPORTED_M} (power-of-two "
+                f"sublane blocks), got {M_}; use backend='dense' for other M"
+            )
         if double_precision:
             raise ValueError("the TPU kernel is float32-only; use backend='dense'")
         data = np.asarray(data)
@@ -126,7 +133,7 @@ class SMCKernel:
             np.pad(data, [(0, 0), (0, L_pad - self.L)], constant_values=-2),
             dtype=jnp.int8,
         )
-        self.M = M
+        self.M = M_
         self.mesh = mesh
         if mesh is not None:
             from phlash_tpu.parallel.mesh import CHUNK_AXIS
@@ -176,9 +183,10 @@ class SMCKernel:
 
         Returns (params6, pi, shifts, B, B_row).
         """
+        m = self.M
         pi = pps.pi
         if pi.ndim == 2:  # chunk-invariant initial distribution
-            pi = jnp.broadcast_to(pi[:, None, :], (pi.shape[0], S, M))
+            pi = jnp.broadcast_to(pi[:, None, :], (pi.shape[0], S, m))
         B = pi.shape[0]
         first = lambda a: a[:, 0] if a.ndim == 3 else a  # noqa: E731
         layout, n_t, B_row = self._layout(B, S)
@@ -196,12 +204,13 @@ class SMCKernel:
             )
             for name in _PARAM_ORDER
         )
+        pi_fill = 1.0 / m  # uniform pi for the identity padding HMMs
         pi_rows = jnp.pad(
             pi.astype(jnp.float32).transpose(1, 0, 2),  # (S, B, M)
             [(0, 0), (0, B_row - B), (0, 0)],
-            constant_values=_PAD_VALUES["pi"],
-        ).reshape(S * B_row, M)
-        pi_p = _pack_rows(pi_rows, n_t, _PAD_VALUES["pi"])
+            constant_values=pi_fill,
+        ).reshape(S * B_row, m)
+        pi_p = _pack_rows(pi_rows, n_t, pi_fill)
 
         # 2 x chunk index; static (numpy) so it folds at trace time.
         # Padding lanes/tiles get shift 0: they read chunk 0's code, but

@@ -9,9 +9,11 @@ transition has O(M) structure
     (x @ A)[j] = b[j] * S(x)[j] + d[j] * x[j] + vv[j] * P(u * x)[j]
 
 with S = strict suffix sum and P = strict prefix sum over states — which
-maps onto the VPU exactly in float32: states live on the 16 sublanes, each
-of the 128 lanes is an independent HMM (particle x chunk), and the scans
-are log2(16) = 4 rounds of masked sublane rolls.  The adjoint emits
+maps onto the VPU exactly in float32: the M states live on the sublane
+axis (any power-of-two multiple of 8 — SUPPORTED_M; 16 is the tuned
+production value), each of the 128 lanes is an independent HMM
+(particle x chunk), and the scans are log2(M) rounds of masked sublane
+rolls.  The adjoint emits
 gradients directly for the compressed natural parameters (b, d, u, v,
 emis0, emis1, pi); no dense transition matrix is ever materialized (the
 CUDA reference propagates 7*M^2 forward-mode derivatives instead,
@@ -60,7 +62,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-M = 16  # HMM states (sublane axis)
+M = 16  # default/tuned HMM state count (the kernels themselves read the
+# state count off the packed arrays' middle axis and support any
+# power-of-two multiple of 8 — see SUPPORTED_M)
+SUPPORTED_M = (8, 16, 32, 64)  # power-of-two sublane blocks the scans tile
 TINY_NORM = 1e-30  # normalizer clamp: keeps extreme particles finite (their
 # density is then ~-inf and the model-level guard zeroes their gradient)
 LANES = 128  # HMMs per tile
@@ -88,16 +93,26 @@ def pack_obs(obs: jnp.ndarray, seg_len: int) -> jnp.ndarray:
     return code.astype(jnp.int32).reshape(-1, ROWS, seg_len // ROWS)
 
 
-def _iota(tb: int) -> jnp.ndarray:
-    return lax.broadcasted_iota(jnp.int32, (tb, M, LANES), 1)
+def _iota(tb: int, m: int = M) -> jnp.ndarray:
+    return lax.broadcasted_iota(jnp.int32, (tb, m, LANES), 1)
+
+
+def _scan_shifts(m: int):
+    "Powers of two below m: the log2(m) rounds of a sublane scan."
+    s, out = 1, []
+    while s < m:
+        out.append(s)
+        s *= 2
+    return tuple(out)
 
 
 def _shift_up(x, s, iota):
     "y[j] = x[j + s] (0 beyond the end) along the state axis."
-    # pltpu.roll requires non-negative shifts; M - s == -s on a length-M axis.
+    # pltpu.roll requires non-negative shifts; m - s == -s on a length-m axis.
     # shift passed as int32 array: a python int traces as i64 under x64,
     # which Mosaic's dynamic_rotate cannot take.
-    return jnp.where(iota < M - s, pltpu.roll(x, jnp.int32(M - s), 1), 0.0)
+    m = x.shape[1]
+    return jnp.where(iota < m - s, pltpu.roll(x, jnp.int32(m - s), 1), 0.0)
 
 
 def _shift_down(x, s, iota):
@@ -107,23 +122,24 @@ def _shift_down(x, s, iota):
 
 def suffix_strict(x, iota):
     "S(x)[j] = sum_{k > j} x[k] along states."
-    for s in (1, 2, 4, 8):
+    for s in _scan_shifts(x.shape[1]):
         x = x + _shift_up(x, s, iota)
     return _shift_up(x, 1, iota)
 
 
 def prefix_strict(x, iota):
     "P(x)[j] = sum_{k < j} x[k] along states."
-    for s in (1, 2, 4, 8):
+    for s in _scan_shifts(x.shape[1]):
         x = x + _shift_down(x, s, iota)
     return _shift_down(x, 1, iota)
 
 
 def state_sum(x, iota):
     "Total over states, broadcast to every state row."
-    for s in (1, 2, 4, 8):
+    shifts = _scan_shifts(x.shape[1])
+    for s in shifts:
         x = x + _shift_up(x, s, iota)
-    for s in (1, 2, 4, 8):
+    for s in shifts:
         x = jnp.where(iota >= s, pltpu.roll(x, jnp.int32(s), 1), x)
     return x
 
@@ -180,7 +196,7 @@ def _make_fwd_kernel(tb: int, with_residuals: bool):
             alpha[...] = pi_ref[...]
             ll_ref[...] = jnp.zeros_like(ll_ref)
 
-        iota = _iota(tb)
+        iota = _iota(tb, b_ref.shape[1])
         shift = shift_ref[...]
         W = obs_ref.shape[2]
         W32 = jnp.int32(W)
@@ -243,31 +259,32 @@ def forward_structured(params, pi, shifts, obs_packed, seg_len: int = DEFAULT_SE
     computed or written at all and None is returned in its place.
     """
     assert seg_len % NORM_EVERY == 0
-    n_t = params[0].shape[0]
+    n_t, m = params[0].shape[0], params[0].shape[1]
+    assert m in SUPPORTED_M, f"state count {m} not in {SUPPORTED_M}"
     n_seg = obs_packed.shape[0]
     n_per = seg_len // NORM_EVERY
     tb = _pick_tb(n_t, FWD_TILE_BLOCK)
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
-    p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((tb, m, LANES), tile3, memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((tb, 1, shifts.shape[-1]), tile3, memory_space=pltpu.VMEM)
     out_specs = [p_spec, p_spec]
     out_shape = [
-        jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_t, m, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_t, m, LANES), jnp.float32),
     ]
-    scratch = [pltpu.VMEM((tb, M, LANES), jnp.float32)]  # alpha carry
+    scratch = [pltpu.VMEM((tb, m, LANES), jnp.float32)]  # alpha carry
     if with_residuals:
         out_specs.append(
             pl.BlockSpec(
-                (1, n_per, tb, M, LANES),
+                (1, n_per, tb, m, LANES),
                 lambda g, s: (_i32(s), _Z, _i32(g), _Z, _Z),
                 memory_space=pltpu.VMEM,
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((n_seg, n_per, n_t, M, LANES), jnp.float32)
+            jax.ShapeDtypeStruct((n_seg, n_per, n_t, m, LANES), jnp.float32)
         )
-        scratch.append(pltpu.VMEM((n_per, tb, M, LANES), jnp.float32))
+        scratch.append(pltpu.VMEM((n_per, tb, m, LANES), jnp.float32))
     outs = pl.pallas_call(
         _make_fwd_kernel(tb, with_residuals),
         grid=(n_t // tb, n_seg),
@@ -306,7 +323,7 @@ def _make_bwd_kernel(tb: int):
             for r in (db_ref, dd_ref, du_ref, dvv_ref, de0_ref, de1_ref, dpi_ref):
                 r[...] = jnp.zeros_like(r)
 
-        iota = _iota(tb)
+        iota = _iota(tb, b_ref.shape[1])
         shift = shift_ref[...]
         W = obs_ref.shape[2]
         W32 = jnp.int32(W)
@@ -390,13 +407,14 @@ def backward_structured(params, shifts, obs_packed, pstates, gbar, abar0, seg_le
     forward pass; gbar: (n_t, M, 128) cotangent of ll (state-redundant
     broadcast); abar0: (n_t, M, 128) cotangent of the final filtered state.
     """
-    n_t = params[0].shape[0]
+    n_t, m = params[0].shape[0], params[0].shape[1]
+    assert m in SUPPORTED_M, f"state count {m} not in {SUPPORTED_M}"
     n_seg = pstates.shape[0]
     n_per = seg_len // NORM_EVERY
     tb = _pick_tb(n_t, BWD_TILE_BLOCK)
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     rev = lambda s: _np.int32(n_seg - 1) - _i32(s)  # noqa: E731
-    p_spec = pl.BlockSpec((tb, M, LANES), tile3, memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((tb, m, LANES), tile3, memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((tb, 1, shifts.shape[-1]), tile3, memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _make_bwd_kernel(tb),
@@ -408,7 +426,7 @@ def backward_structured(params, shifts, obs_packed, pstates, gbar, abar0, seg_le
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, n_per, tb, M, LANES),
+                (1, n_per, tb, m, LANES),
                 lambda g, s: (rev(s), _Z, _i32(g), _Z, _Z),
                 memory_space=pltpu.VMEM,
             ),
@@ -416,14 +434,14 @@ def backward_structured(params, shifts, obs_packed, pstates, gbar, abar0, seg_le
             p_spec,
         ],
         out_specs=[p_spec] * 7,
-        out_shape=[jax.ShapeDtypeStruct((n_t, M, LANES), jnp.float32)] * 7,
+        out_shape=[jax.ShapeDtypeStruct((n_t, m, LANES), jnp.float32)] * 7,
         scratch_shapes=[
-            pltpu.VMEM((tb, M, LANES), jnp.float32),  # abar
-            pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # x per site
-            pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # sv per site
-            pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # pv per site
-            pltpu.VMEM((NORM_EVERY, tb, M, LANES), jnp.float32),  # v per site
-            pltpu.VMEM((n_per, tb, M, LANES), jnp.float32),  # boundary states
+            pltpu.VMEM((tb, m, LANES), jnp.float32),  # abar
+            pltpu.VMEM((NORM_EVERY, tb, m, LANES), jnp.float32),  # x per site
+            pltpu.VMEM((NORM_EVERY, tb, m, LANES), jnp.float32),  # sv per site
+            pltpu.VMEM((NORM_EVERY, tb, m, LANES), jnp.float32),  # pv per site
+            pltpu.VMEM((NORM_EVERY, tb, m, LANES), jnp.float32),  # v per site
+            pltpu.VMEM((n_per, tb, m, LANES), jnp.float32),  # boundary states
         ],
     )(*params, shifts, obs_packed, pstates, gbar, abar0)
     return tuple(outs[:6]), outs[6]

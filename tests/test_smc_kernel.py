@@ -274,3 +274,56 @@ def test_log_density_structured_kernel_per_particle(sdata, kern, dkern, mcp):
         got = log_density(mcp, kern=kern, **kw)
     want = log_density(mcp, kern=dkern, **kw)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_m_policy_unsupported_raises(sdata):
+    """M outside the power-of-two sublane set fails loudly in SMCKernel and
+    falls back to the dense backend through get_kernel (the documented
+    policy where the reference only warns, gpu.py:128-137)."""
+    from phlash_tpu.kernel import get_kernel
+    from phlash_tpu.ops.kernel_dense import DenseKernel as DK
+
+    with pytest.raises(ValueError, match="supports M in"):
+        SMCKernel(M_=24, data=sdata, seg_len=SEG)
+    kern = get_kernel(M=24, data=sdata, backend="pallas")
+    assert isinstance(kern, DK)
+
+
+@pytest.mark.heavy  # 2 extra shapes x (fwd + adjoint) interpret compiles (~4 min)
+@pytest.mark.parametrize("m,pattern", [(32, "32*1"), (8, "8*1")])
+def test_smc_m_generality(sdata, m, pattern):
+    """The structured kernel at M=8 and M=32 (any power-of-two sublane
+    block, ops/pallas_smc.SUPPORTED_M): forward values against the scan
+    oracle, full adjoint against the dense backend.  The reference compiles
+    any M into its CUDA kernel (gpu.py:131-137); this is the TPU
+    counterpart evidence beyond the tuned M=16."""
+    from phlash_tpu.params import PSMCParams
+    from phlash_tpu.size_history import DemographicModel
+
+    dm = DemographicModel.default(pattern=pattern, theta=1e-2, rho=1e-2)
+    pp = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm))
+    assert pp.b.shape[0] == m
+    kern = SMCKernel(M_=m, data=sdata, seg_len=SEG)
+    dkern = DenseKernel(M=m, data=sdata, seg_len=SEG)
+    B, S = 2, 2
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp)
+    inds = jnp.array([0, 1])
+
+    with pltpu.force_tpu_interpret_mode():
+        ll = np.asarray(kern.loglik_batched(pps, inds))
+    for s, i in enumerate([0, 1]):
+        want = float(psmc_ll(pp, jnp.asarray(sdata[i]))[1])
+        np.testing.assert_allclose(ll[:, s], want, rtol=1e-5)
+
+    W = jnp.arange(1.0, B * S + 1).reshape(B, S)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(lambda p: (kern.loglik_batched(p, inds) * W).sum())(pps)
+    gd = jax.grad(lambda p: (dkern.loglik_batched(p, inds) * W).sum())(pps)
+    for name, a, b in zip(pps._fields, gp, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        if name != "pi":
+            a, b = a.sum(1), b.sum(1)
+        denom = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(
+            a / denom, b / denom, atol=2e-5, err_msg=f"M={m} {name}"
+        )
