@@ -25,6 +25,26 @@ from phlash_tpu.params import MCMCParams, PSMCParams
 from phlash_tpu.size_history import DemographicModel
 
 
+def pytest_collection_modifyitems(config, items):
+    """Auto-skip `heavy` tests unless explicitly selected.
+
+    The fast lane (-m "not slow") and the slow lane (-m slow) each budget
+    under ~10 minutes on a one-core host; the heavy artifacts (cross-package
+    parity vs the reference sources ~18 min, the executable walkthrough,
+    the longest fit e2e contracts) run only when asked for:
+
+        python -m pytest tests/ -m heavy            # the whole heavy lane
+        python -m pytest tests/test_ref_parity.py -m heavy
+    """
+    expr = config.option.markexpr or ""
+    if "heavy" in expr:
+        return
+    skip = pytest.mark.skip(reason="heavy lane: select with -m heavy")
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)
+
+
 # One seed by default: the suite must stay fast on a single CPU core.
 # PHLASH_TEST_SEEDS=all restores the reference's 3-seed sweep (CI slow lane).
 _SEEDS = [1, 2, 3] if os.environ.get("PHLASH_TEST_SEEDS") == "all" else [1]

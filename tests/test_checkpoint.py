@@ -156,7 +156,7 @@ def test_fit_resume_steps_per_call(tmp_path):
     assert len(res) == 4
 
 
-@pytest.mark.slow  # three fit() compiles
+@pytest.mark.heavy  # three fit() compiles (~60 s)
 def test_fit_resume_matches_uninterrupted(tmp_path):
     """Interrupted + resumed == uninterrupted, bit for bit, under the
     strided loop: a run killed after its step-3 save and restarted must

@@ -14,7 +14,7 @@ import pytest
 EXAMPLE = os.path.join(os.path.dirname(__file__), "..", "docs", "example.py")
 
 
-@pytest.mark.slow  # a full (small) fit compile + MILP (~2-3 min on one core)
+@pytest.mark.heavy  # a full (small) fit compile + MILP (~3-4 min on one core)
 def test_example_walkthrough(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(

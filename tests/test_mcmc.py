@@ -79,7 +79,7 @@ def test_fit_with_elpd_early_stopping():
     assert all(isinstance(r, DemographicModel) for r in res)
 
 
-@pytest.mark.slow  # two full (tiny) fits: one step-compile each
+@pytest.mark.heavy  # two full (tiny) fits: one step-compile each (~90 s)
 def test_return_final_contract():
     """With test_data, fit() returns the best-ELPD cloud by default and the
     final iterate under return_final=True (the documented deviation from

@@ -16,7 +16,7 @@ REF_SRC = os.environ.get("PHLASH_REF_SRC", "/root/reference/src")
 TOOL = os.path.join(os.path.dirname(__file__), "..", "tools", "ref_parity.py")
 
 
-@pytest.mark.slow  # ~5-10 min of f64 scan compiles on a 1-core host
+@pytest.mark.heavy  # ~18 min of f64 scan compiles on a 1-core host
 @pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF_SRC, "phlash")),
     reason="reference source tree not available",

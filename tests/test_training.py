@@ -100,7 +100,7 @@ def test_steps_per_call_default_resolution(monkeypatch):
     assert build(niter=20, steps_per_call=2).steps_per_call == 2  # explicit
 
 
-@pytest.mark.slow  # compiles a scanned full SVGD step + two fit() graphs
+@pytest.mark.heavy  # compiles a scanned full SVGD step + two fit() graphs (~90 s)
 def test_fit_steps_per_call_smoke():
     """steps_per_call plumbs through build_training; fit() with a
     non-dividing steps_per_call runs the strided loop, takes a partial
