@@ -58,20 +58,21 @@ def main():
 
     B, S = 500, 5
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    M_ = int(os.environ.get("PH_M", 16))  # any of ops/pallas_smc.SUPPORTED_M
     rng = np.random.default_rng(0)
     data = rng.binomial(1, 0.05, size=(max(8, S), L)).astype(np.int8)
     data[:, 1000:1100] = -1
-    dm = DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
+    dm = DemographicModel.default(pattern=f"{M_}*1", theta=1e-2, rho=1e-2)
     pp = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm))
     pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp)
     inds = jnp.arange(S)
     sites = B * S * L
 
-    kern = SMCKernel(M_=16, data=data, seg_len=seg_env)
-    params, pi, shifts, _ = kern._pack_instances(pps, S)
+    kern = SMCKernel(M_=M_, data=data, seg_len=seg_env)
+    params, pi, shifts, _, _ = kern._pack_instances(pps, S)
     obs = pallas_smc.pack_obs(kern.data[inds], kern.seg_len)
     seg = kern.seg_len
-    print(f"n_t={params[0].shape[0]} n_seg={obs.shape[0]} seg_len={seg}")
+    print(f"M={M_} n_t={params[0].shape[0]} n_seg={obs.shape[0]} seg_len={seg}")
 
     fwd = jax.jit(lambda p, q, sh, o: pallas_smc.forward_structured(p, q, sh, o, seg))
     t_f, (ll, alpha, pstates) = timeit(fwd, params, pi, shifts, obs)

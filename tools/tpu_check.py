@@ -93,6 +93,34 @@ def main() -> int:
     failures += status == "FAIL"
     print(f"aligned layout grads (B={B2}): maxrel {worst:.2e} {status}")
 
+    # non-default state counts on real hardware (the interpret-mode parity
+    # lives in tests/test_smc_kernel.py::test_smc_m_generality; this is the
+    # compiled-TPU half): value vs the scan oracle, grads vs dense
+    for m in (8, 32):
+        dm_m = DemographicModel.default(pattern=f"{m}*1", theta=1e-2, rho=1e-2)
+        pp_m = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm_m))
+        pps_m = jax.tree.map(lambda a: jnp.broadcast_to(a, (16, S) + a.shape), pp_m)
+        kern_m = SMCKernel(M_=m, data=data)
+        dkern_m = DenseKernel(M=m, data=data)
+        ll_m = np.asarray(kern_m.loglik_batched(pps_m, inds))
+        want = float(psmc_ll(pp_m, jnp.asarray(data[0]))[1])
+        rel = abs(ll_m[0, 0] - want) / abs(want)
+        status = "ok" if rel < 1e-4 else "FAIL"
+        failures += status == "FAIL"
+        print(f"M={m} value: pallas {ll_m[0, 0]:.4f} oracle {want:.4f} rel {rel:.2e} {status}")
+        Wm = jnp.linspace(0.5, 1.5, 16 * S).reshape(16, S)
+        gp_m = jax.grad(lambda p: (kern_m.loglik_batched(p, inds) * Wm).sum())(pps_m)
+        gd_m = jax.grad(lambda p: (dkern_m.loglik_batched(p, inds) * Wm).sum())(pps_m)
+        worst_m = 0.0
+        for name, a, b in zip(pps_m._fields, gp_m, gd_m):
+            a, b = np.asarray(a), np.asarray(b)
+            if name != "pi":
+                a, b = a.sum(1), b.sum(1)
+            worst_m = max(worst_m, np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+        status = "ok" if worst_m < 1e-3 else "FAIL"
+        failures += status == "FAIL"
+        print(f"M={m} grads: maxrel {worst_m:.2e} {status}")
+
     # production kernel under a mesh: one full SVGD step, sharded vs not.
     # (single-chip machines get a (1, 1) mesh — still the shard_map path.)
     from phlash_tpu.parallel import make_mesh, shard_training_step
