@@ -102,6 +102,51 @@ def save_checkpoint(path: str, ckpt: TrainCheckpoint, cache: dict) -> None:
     logger.debug("checkpoint saved at step %d -> %s", ckpt.step, path)
 
 
+class AsyncCheckpointWriter:
+    """Single-flight background saver: the training loop hands off a
+    TrainCheckpoint and keeps dispatching device steps while the
+    device->host transfer and the npz write happen on a worker thread.
+
+    jax Arrays are immutable, so the snapshot taken by the worker is
+    exactly the state at hand-off.  Saves are strictly ordered (a new save
+    joins the previous one first — they are `save_every` iterations apart,
+    so an actual wait means disk is slower than training and throttling is
+    the right behavior).  A worker exception is re-raised on the next
+    save()/wait() so failures surface on the training thread.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._cache: dict = {}
+        self._err: BaseException | None = None
+
+    def _join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def save(self, path: str, ckpt: TrainCheckpoint) -> None:
+        import threading
+
+        self._join()
+
+        def work():
+            try:
+                save_checkpoint(path, ckpt, self._cache)
+            except BaseException as e:  # surfaced on the training thread
+                self._err = e
+
+        self._thread = threading.Thread(target=work, name="ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        "Block until the in-flight save (if any) is durable."
+        self._join()
+
+
 def load_checkpoint(path: str, example_state) -> TrainCheckpoint | None:
     "Restore a TrainCheckpoint matching example_state's structure, or None."
     if not os.path.exists(path):

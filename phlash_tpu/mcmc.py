@@ -265,10 +265,15 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     start_step = 0
     ema = None
     best_elpd = None  # (step, ema, state) of the best held-out ELPD so far
+    ckpt_writer = None
     if ckpt_path:
-        from phlash_tpu.checkpoint import TrainCheckpoint, load_checkpoint, save_checkpoint
+        from phlash_tpu.checkpoint import (
+            AsyncCheckpointWriter,
+            TrainCheckpoint,
+            load_checkpoint,
+        )
 
-        _treedef_cache = {}
+        ckpt_writer = AsyncCheckpointWriter()
         resumed = load_checkpoint(ckpt_path, state)
         if resumed is not None:
             state, key, start_step, ema = (
@@ -338,7 +343,9 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
         meter.tick()  # counts spc sites even on a (rare) partial final call
         if ckpt_path and i + k >= next_save:
             next_save = i + k + save_every
-            save_checkpoint(
+            # async hand-off: the device->host transfer + npz write happen
+            # on a worker thread while this loop keeps dispatching steps
+            ckpt_writer.save(
                 ckpt_path,
                 TrainCheckpoint(
                     step=i + k,
@@ -349,7 +356,6 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
                     best_ema=best_elpd[1] if best_elpd else None,
                     best_state=best_elpd[2] if best_elpd else None,
                 ),
-                _treedef_cache,
             )
         if want_elpd:
             next_elpd = i + 10
@@ -369,6 +375,12 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
                 pbar.set_description(f"elpd={ema:.2f} patience={patience}")
         if cb is not None:
             cb(dms())
+    if ckpt_writer is not None:
+        # drain the in-flight save (and surface any worker failure) before
+        # declaring the fit done; writes are atomic, so an exception path
+        # that skips this can at worst lose the very last save, never
+        # corrupt one
+        ckpt_writer.wait()
     logger.info("fit finished: %s", meter.summary())
     if best_elpd is not None and not options.get("return_final", False):
         # return the best-held-out-ELPD particles, not the last iterate (the
