@@ -326,6 +326,7 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
     next_check = start_step
     next_save = start_step + save_every
     next_elpd = start_step
+    last_step, saved_at = start_step, None
     for i in pbar:
         k = min(spc, niter - i)  # the final call may be partial
         key, sub = jax.random.split(key)
@@ -341,8 +342,10 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
                 raise RuntimeError(f"non-finite particles at iteration {i}")
         state = new_state
         meter.tick()  # counts spc sites even on a (rare) partial final call
+        last_step = i + k
         if ckpt_path and i + k >= next_save:
             next_save = i + k + save_every
+            saved_at = i + k
             # async hand-off: the device->host transfer + npz write happen
             # on a worker thread while this loop keeps dispatching steps
             ckpt_writer.save(
@@ -376,6 +379,24 @@ def fit(data: list[Contig], test_data: Contig = None, **options) -> list[Demogra
         if cb is not None:
             cb(dms())
     if ckpt_writer is not None:
+        if last_step != saved_at and last_step > start_step:
+            # always leave the run's final state on disk: a checkpointed
+            # run must be resumable/inspectable even when niter never
+            # reached the periodic save_every boundary (and a completed
+            # run's file records step=niter, so restarting with the same
+            # arguments is a no-op resume)
+            ckpt_writer.save(
+                ckpt_path,
+                TrainCheckpoint(
+                    step=last_step,
+                    state=state,
+                    key=key,
+                    ema=ema,
+                    best_step=best_elpd[0] if best_elpd else last_step,
+                    best_ema=best_elpd[1] if best_elpd else None,
+                    best_state=best_elpd[2] if best_elpd else None,
+                ),
+            )
         # drain the in-flight save (and surface any worker failure) before
         # declaring the fit done; writes are atomic, so an exception path
         # that skips this can at worst lose the very last save, never

@@ -22,7 +22,9 @@ def test_example_walkthrough(tmp_path):
         env=env,
         capture_output=True,
         text=True,
-        timeout=900,
+        # ~6 min warm, but a cold XLA compile cache on one core can take
+        # ~2x that (the fused fit graph on the virtual 8-device mesh)
+        timeout=1800,
     )
     assert r.returncode == 0, f"example failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
     assert "DONE" in r.stdout
