@@ -153,6 +153,29 @@ def main():
     instr_fwd = ours_fwd * 1e6 / 128 * OPS_FWD * 2
     instr_grad = ours * 1e6 / 128 * (OPS_FWD + OPS_BWD) * 2
 
+    # --- M=32 structured kernel (r3 verdict item 7: a documented number for
+    # M != 16, where the reference's CUDA kernel compiles any M with a perf
+    # warning).  Additive: failures land in extras, not the primary metric.
+    m32_extra = {}
+    try:
+        dm32 = DemographicModel.default(pattern="32*1", theta=1e-2, rho=1e-2)
+        pp32 = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm32))
+        pps32 = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp32)
+        kern32 = get_kernel(M=32, data=data)
+
+        def loss32(p):
+            return kern32.loglik_batched(p, inds).sum()
+
+        m32_grad, _ = _measure(jax.jit(jax.grad(loss32)), pps32, B * S * L, reps=2)
+        m32_fwd, _ = _measure(jax.jit(loss32), pps32, B * S * L, reps=2)
+        m32_extra = {
+            "m32_fwd_grad_Msites_per_sec": round(m32_grad, 1),
+            "m32_fwd_only_Msites_per_sec": round(m32_fwd, 1),
+            "m32_backend": type(kern32).__name__,
+        }
+    except Exception as e:  # pragma: no cover - additive diagnostics only
+        m32_extra = {"m32_error": str(e)[:200]}
+
     # --- full SVGD step rate (the BASELINE.md north-star "SVGD iters/sec"):
     # the production-shaped training program (500 particles, S=5, 2.5 kb
     # chunks, default steps_per_call) timed end to end.  Additive: any
@@ -214,6 +237,7 @@ def main():
                     "device_health": health,
                     "vpu_issue_peak_fraction_fwd": round(instr_fwd / ISSUE_PEAK, 2),
                     "vpu_issue_peak_fraction_fwd_grad": round(instr_grad / ISSUE_PEAK, 2),
+                    **m32_extra,
                     **step_extra,
                 },
             }
