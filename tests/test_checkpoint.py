@@ -192,3 +192,31 @@ def test_step_meter():
     assert m.steps_per_sec > 0
     assert m.msites_per_sec > 0
     assert "steps" in m.summary()
+
+
+def test_async_writer_orders_saves_and_surfaces_errors(tmp_path, monkeypatch):
+    """AsyncCheckpointWriter: saves land in order and durable after wait();
+    a worker exception re-raises on the training thread, not silently."""
+    from phlash_tpu.checkpoint import AsyncCheckpointWriter
+
+    _, state = _toy_state()
+    path = str(tmp_path / "ckpt.npz")
+    key = jax.random.PRNGKey(0)
+    w = AsyncCheckpointWriter()
+    for step in (10, 20, 30):
+        w.save(path, TrainCheckpoint(step=step, state=state, key=key, ema=None, best_step=step))
+    w.wait()
+    assert load_checkpoint(path, state).step == 30
+
+    import phlash_tpu.checkpoint as ckpt_mod
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", boom)
+    w2 = AsyncCheckpointWriter()
+    w2.save(path, TrainCheckpoint(step=40, state=state, key=key, ema=None, best_step=40))
+    with pytest.raises(OSError, match="disk full"):
+        w2.wait()
+    # the failure is consumed: the writer is reusable afterwards
+    w2.wait()
