@@ -22,20 +22,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(kern, pps, inds, sites, reps=3, inner=10):
-    loss = jax.jit(jax.grad(lambda p: kern.loglik_batched(p, inds).sum()))
-
+def measure(fn, pps, sites, reps=3, inner=10):
     def sync(out):
         return float(jax.tree.leaves(out)[0].ravel()[0])
 
-    sync(loss(pps))
-    best = 0.0
+    sync(fn(pps))
     per = []
     for _ in range(reps):
         t0 = time.perf_counter()
         o = None
         for _ in range(inner):
-            o = loss(pps)
+            o = fn(pps)
         sync(o)
         per.append(sites / ((time.perf_counter() - t0) / inner) / 1e6)
     return max(per), per
@@ -69,8 +66,11 @@ def main():
             return "dense", n, Bq
 
         kern._layout = forced
-        best, per = measure(kern, pps, inds, sites)
-        print(f"{which:8s} fwd+grad: {best:7.1f} Msites/s  per-rep {[round(x, 1) for x in per]}")
+        loss = lambda p: kern.loglik_batched(p, inds).sum()  # noqa: E731
+        best_f, per_f = measure(jax.jit(loss), pps, sites)
+        best_g, per_g = measure(jax.jit(jax.grad(loss)), pps, sites)
+        print(f"{which:8s} fwd-only: {best_f:7.1f} Msites/s  per-rep {[round(x, 1) for x in per_f]}")
+        print(f"{which:8s} fwd+grad: {best_g:7.1f} Msites/s  per-rep {[round(x, 1) for x in per_g]}")
 
 
 if __name__ == "__main__":
