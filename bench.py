@@ -122,14 +122,25 @@ def main():
     def loss(p):
         return kern.loglik_batched(p, inds).sum()
 
-    ours_fwd, fwd_reps = _measure(jax.jit(loss), pps, B * S * L)
-    ours, grad_reps = _measure(jax.jit(jax.grad(loss)), pps, B * S * L)
-
     # device-health indicator: per-rep dispersion of the primary metric.
     # A healthy chip repeats within a few %; a degraded tunnel/device shows
-    # large spread, flagging the number as tainted rather than letting it
-    # read as a code regression.
+    # large spread.  When a window comes back noisy, wait and re-measure
+    # (bounded retries) so the number of record reflects a healthy window
+    # rather than whatever the tunnel gives that minute (r4 verdict weak
+    # item 2); the best window wins and the retry count is recorded.
+    jit_loss, jit_grad = jax.jit(loss), jax.jit(jax.grad(loss))
+    retries = 0
+    ours_fwd, fwd_reps = _measure(jit_loss, pps, B * S * L)
+    ours, grad_reps = _measure(jit_grad, pps, B * S * L)
     spread = (max(grad_reps) - min(grad_reps)) / max(grad_reps)
+    while spread >= 0.10 and retries < 2:
+        retries += 1
+        time.sleep(60 * retries)
+        f2, fr2 = _measure(jit_loss, pps, B * S * L)
+        g2, gr2 = _measure(jit_grad, pps, B * S * L)
+        s2 = (max(gr2) - min(gr2)) / max(gr2)
+        if s2 < spread:  # adopt the cleaner window wholesale
+            ours_fwd, fwd_reps, ours, grad_reps, spread = f2, fr2, g2, gr2, s2
     health = "ok" if spread < 0.10 else "noisy"
 
     # --- reference-equivalent scan kernel, same chip ---
@@ -157,24 +168,25 @@ def main():
     # M != 16, where the reference's CUDA kernel compiles any M with a perf
     # warning).  Additive: failures land in extras, not the primary metric.
     m32_extra = {}
-    try:
-        dm32 = DemographicModel.default(pattern="32*1", theta=1e-2, rho=1e-2)
-        pp32 = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm32))
-        pps32 = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp32)
-        kern32 = get_kernel(M=32, data=data)
+    for m_alt in (32, 64):  # r4 directive 6 adds the M=64 number
+        try:
+            dm_a = DemographicModel.default(pattern=f"{m_alt}*1", theta=1e-2, rho=1e-2)
+            pp_a = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm_a))
+            pps_a = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp_a)
+            kern_a = get_kernel(M=m_alt, data=data)
 
-        def loss32(p):
-            return kern32.loglik_batched(p, inds).sum()
+            def loss_a(p, kern_a=kern_a):
+                return kern_a.loglik_batched(p, inds).sum()
 
-        m32_grad, _ = _measure(jax.jit(jax.grad(loss32)), pps32, B * S * L, reps=2)
-        m32_fwd, _ = _measure(jax.jit(loss32), pps32, B * S * L, reps=2)
-        m32_extra = {
-            "m32_fwd_grad_Msites_per_sec": round(m32_grad, 1),
-            "m32_fwd_only_Msites_per_sec": round(m32_fwd, 1),
-            "m32_backend": type(kern32).__name__,
-        }
-    except Exception as e:  # pragma: no cover - additive diagnostics only
-        m32_extra = {"m32_error": str(e)[:200]}
+            ma_grad, _ = _measure(jax.jit(jax.grad(loss_a)), pps_a, B * S * L, reps=2)
+            ma_fwd, _ = _measure(jax.jit(loss_a), pps_a, B * S * L, reps=2)
+            m32_extra.update({
+                f"m{m_alt}_fwd_grad_Msites_per_sec": round(ma_grad, 1),
+                f"m{m_alt}_fwd_only_Msites_per_sec": round(ma_fwd, 1),
+                f"m{m_alt}_backend": type(kern_a).__name__,
+            })
+        except Exception as e:  # pragma: no cover - additive diagnostics only
+            m32_extra[f"m{m_alt}_error"] = str(e)[:200]
 
     # --- full SVGD step rate (the BASELINE.md north-star "SVGD iters/sec"):
     # the production-shaped training program (500 particles, S=5, 2.5 kb
@@ -235,6 +247,7 @@ def main():
                     "fwd_per_rep_Msites_per_sec": [round(x, 1) for x in fwd_reps],
                     "rep_spread": round(spread, 3),
                     "device_health": health,
+                    "noisy_window_retries": retries,
                     "vpu_issue_peak_fraction_fwd": round(instr_fwd / ISSUE_PEAK, 2),
                     "vpu_issue_peak_fraction_fwd_grad": round(instr_grad / ISSUE_PEAK, 2),
                     **m32_extra,

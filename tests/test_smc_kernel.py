@@ -289,10 +289,11 @@ def test_m_policy_unsupported_raises(sdata):
     assert isinstance(kern, DK)
 
 
-@pytest.mark.heavy  # 2 extra shapes x (fwd + adjoint) interpret compiles (~4 min)
-@pytest.mark.parametrize("m,pattern", [(32, "32*1"), (8, "8*1")])
+@pytest.mark.heavy  # 3 extra shapes x (fwd + adjoint) interpret compiles (~6 min)
+@pytest.mark.parametrize("m,pattern", [(32, "32*1"), (8, "8*1"), (64, "64*1")])
 def test_smc_m_generality(sdata, m, pattern):
-    """The structured kernel at M=8 and M=32 (any power-of-two sublane
+    """The structured kernel at M=8, M=32 and M=64 (every non-default entry
+    of the power-of-two sublane
     block, ops/pallas_smc.SUPPORTED_M): forward values against the scan
     oracle, full adjoint against the dense backend.  The reference compiles
     any M into its CUDA kernel (gpu.py:131-137); this is the TPU

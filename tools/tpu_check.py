@@ -96,7 +96,7 @@ def main() -> int:
     # non-default state counts on real hardware (the interpret-mode parity
     # lives in tests/test_smc_kernel.py::test_smc_m_generality; this is the
     # compiled-TPU half): value vs the scan oracle, grads vs dense
-    for m in (8, 32):
+    for m in (8, 32, 64):
         dm_m = DemographicModel.default(pattern=f"{m}*1", theta=1e-2, rho=1e-2)
         pp_m = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm_m))
         pps_m = jax.tree.map(lambda a: jnp.broadcast_to(a, (16, S) + a.shape), pp_m)
