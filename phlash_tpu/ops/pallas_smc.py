@@ -55,12 +55,22 @@ backward tile block and required a full-segment rebuild per grid step).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Experimental cross-site pipelining schedule (docs/DESIGN.md "Roofline",
+# recurrence-latency levers): hoists each period's observation decodes /
+# emission factors out of the serial per-site chain and interleaves the
+# suffix/prefix scan rounds so the issue pipeline always has two independent
+# dependence chains in flight.  Numerically identical to the default
+# schedule (same op set and per-chain order).  Enable per process:
+# PHLASH_TPU_PIPELINE_V2=1 (read at trace time; A/B in separate processes).
+PIPELINE_V2 = os.environ.get("PHLASH_TPU_PIPELINE_V2", "") == "1"
 
 M = 16  # default/tuned HMM state count (the kernels themselves read the
 # state count off the packed arrays' middle axis and support any
@@ -149,10 +159,25 @@ def _emis_factor(ob, e0, e1):
     return jnp.where(ob == 0, e0, jnp.where(ob == 1, e1, 1.0))
 
 
+def _dual_scan(xs, xp, iota):
+    """suffix_strict(xs) and prefix_strict(xp) with their rounds interleaved.
+
+    The two scans are independent dependence chains; alternating their
+    roll+add rounds in program order offers the scheduler one chain to issue
+    while the other's roll latency drains (PIPELINE_V2 experiment)."""
+    for s in _scan_shifts(xs.shape[1]):
+        xs = xs + _shift_up(xs, s, iota)
+        xp = xp + _shift_down(xp, s, iota)
+    return _shift_up(xs, 1, iota), _shift_down(xp, 1, iota)
+
+
 def _transition(x, b, d, u, vv, iota):
     "v = x @ A via the structured form; also returns the scans for the VJP."
-    sv = suffix_strict(x, iota)
-    pv = prefix_strict(u * x, iota)
+    if PIPELINE_V2:
+        sv, pv = _dual_scan(x, u * x, iota)
+    else:
+        sv = suffix_strict(x, iota)
+        pv = prefix_strict(u * x, iota)
     return b * sv + d * x + vv * pv, sv, pv
 
 
@@ -211,14 +236,32 @@ def _make_fwd_kernel(tb: int, with_residuals: bool):
                 # interpret mode's buffer machinery under shard_map).
                 pst_acc[p] = a
             t0 = p * jnp.int32(NORM_EVERY)
-            for j in range(NORM_EVERY):  # unrolled; no rescaling inside
-                t = t0 + jnp.int32(j)
-                ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
-                v, _sv, _pv = _transition(
-                    a, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
-                )
-                w = v * _emis_factor(ob, e0_ref[...], e1_ref[...])
-                a = jnp.where(ob < 3, w, a)
+            if PIPELINE_V2:
+                # hoist the period's decodes + emission factors + live masks
+                # out of the serial state chain: independent work the issue
+                # pipeline can overlap with the recurrence
+                obs_j = []
+                for j in range(NORM_EVERY):
+                    t = t0 + jnp.int32(j)
+                    obs_j.append(
+                        _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
+                    )
+                fs = [_emis_factor(ob, e0_ref[...], e1_ref[...]) for ob in obs_j]
+                lives = [ob < 3 for ob in obs_j]
+                for j in range(NORM_EVERY):  # unrolled; no rescaling inside
+                    v, _sv, _pv = _transition(
+                        a, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
+                    )
+                    a = jnp.where(lives[j], v * fs[j], a)
+            else:
+                for j in range(NORM_EVERY):  # unrolled; no rescaling inside
+                    t = t0 + jnp.int32(j)
+                    ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
+                    v, _sv, _pv = _transition(
+                        a, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
+                    )
+                    w = v * _emis_factor(ob, e0_ref[...], e1_ref[...])
+                    a = jnp.where(ob < 3, w, a)
             c = jnp.maximum(state_sum(a, iota), TINY_NORM)
             return a / c, ll + jnp.log(c)
 
@@ -343,10 +386,21 @@ def _make_bwd_kernel(tb: int):
             # reverse sweep below never recomputes them: the sweep then
             # needs only its own two adjoint scans per site instead of four.
             a = pstk[p]
+            if PIPELINE_V2:
+                # decode the period's sites once, outside both sweeps
+                obs_j = []
+                for j in range(NORM_EVERY):
+                    t = t0 + jnp.int32(j)
+                    obs_j.append(
+                        _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
+                    )
             for j in range(NORM_EVERY):
                 ph_x[jnp.int32(j)] = a
-                t = t0 + jnp.int32(j)
-                ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
+                if PIPELINE_V2:
+                    ob = obs_j[j]
+                else:
+                    t = t0 + jnp.int32(j)
+                    ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
                 v, sv, pv = _transition(
                     a, b_ref[...], d_ref[...], u_ref[...], vv_ref[...], iota
                 )
@@ -361,8 +415,11 @@ def _make_bwd_kernel(tb: int):
             ybar = (ab - state_sum(ab * (a / c), iota) + gbar_ref[...]) / c
             # interior sites, reversed (unnormalized linear recursion)
             for j in reversed(range(NORM_EVERY)):
-                t = t0 + jnp.int32(j)
-                ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
+                if PIPELINE_V2:
+                    ob = obs_j[j]
+                else:
+                    t = t0 + jnp.int32(j)
+                    ob = _decode(obs_ref[0, lax.div(t, W32), lax.rem(t, W32)], shift)
                 live = ob < 3
                 x = ph_x[jnp.int32(j)]
                 sv = ph_sv[jnp.int32(j)]
@@ -377,10 +434,13 @@ def _make_bwd_kernel(tb: int):
                 db = db + sv * vbar
                 dd = dd + x * vbar
                 dvv = dvv + pv * vbar
-                t1 = suffix_strict(vv_ref[...] * vbar, iota)
+                if PIPELINE_V2:  # the two adjoint scans are independent chains
+                    t1, pb = _dual_scan(vv_ref[...] * vbar, b_ref[...] * vbar, iota)
+                else:
+                    t1 = suffix_strict(vv_ref[...] * vbar, iota)
+                    pb = prefix_strict(b_ref[...] * vbar, iota)
                 du = du + x * t1
-                xbar = prefix_strict(b_ref[...] * vbar, iota) + d_ref[...] * vbar \
-                    + u_ref[...] * t1
+                xbar = pb + d_ref[...] * vbar + u_ref[...] * t1
                 ybar = jnp.where(live, xbar, ybar)
             return ybar, db, dd, du, dvv, de0, de1
 

@@ -49,6 +49,14 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# this harness is CPU-by-design (the reference side runs its scan kernel);
+# the ambient TPU tunnel plugin overrides JAX_PLATFORMS from the environment,
+# so the platform must be pinned in-process before the first jax use
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax as _jax
+
+_jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from ref_parity import import_reference

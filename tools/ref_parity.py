@@ -151,8 +151,12 @@ def _rel(a, b) -> float:
 
 
 def main() -> int:
+    # f64 host math by design; pin the platform in-process (the ambient TPU
+    # tunnel plugin overrides JAX_PLATFORMS from the environment)
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
