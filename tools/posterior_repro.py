@@ -265,8 +265,10 @@ def main() -> int:
     lo_r, med_r, hi_r = np.quantile(ne_ref, qs, axis=0)
     lo_o, med_o, hi_o = np.quantile(ne_ours, qs, axis=0)
 
-    med_eta_r = SizeHistory(t=grid, c=1.0 / (2.0 * med_r))
-    med_eta_o = SizeHistory(t=grid, c=1.0 / (2.0 * med_o))
+    # SizeHistory requires t[0] == 0: extend the first epoch back to 0
+    tgrid = np.insert(grid, 0, 0.0)
+    med_eta_r = SizeHistory(t=tgrid, c=np.insert(1.0 / (2.0 * med_r), 0, 1.0 / (2.0 * med_r[0])))
+    med_eta_o = SizeHistory(t=tgrid, c=np.insert(1.0 / (2.0 * med_o), 0, 1.0 / (2.0 * med_o[0])))
     tv_cross = float(med_eta_o.tv(med_eta_r))
     tv_ref_truth = float(truth.eta.tv(med_eta_r))
     tv_ours_truth = float(truth.eta.tv(med_eta_o))
