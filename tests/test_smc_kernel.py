@@ -328,3 +328,44 @@ def test_smc_m_generality(sdata, m, pattern):
         np.testing.assert_allclose(
             a / denom, b / denom, atol=2e-5, err_msg=f"M={m} {name}"
         )
+
+
+@pytest.mark.slow  # second interpret-mode fwd+adjoint compile (~40 s)
+def test_pipeline_v2_schedule_matches_default(sdata, monkeypatch):
+    """PHLASH_TPU_PIPELINE_V2 (the r5 cross-site pipelining experiment,
+    docs/DESIGN.md "Roofline") is a pure schedule change: interleaved scan
+    rounds + hoisted/deduplicated decodes.  Values and gradients must match
+    the default schedule exactly (same op set, same per-chain order).  The
+    flag is read at trace time, so the jit caches are cleared between the
+    two traces."""
+    import jax
+
+    from phlash_tpu.ops import pallas_smc
+    from phlash_tpu.params import PSMCParams
+    from phlash_tpu.size_history import DemographicModel
+
+    dm = DemographicModel.default(pattern="16*1", theta=1e-2, rho=1e-2)
+    pp = jax.tree.map(lambda a: a.astype(jnp.float32), PSMCParams.from_dm(dm))
+    B, S = 4, 2
+    pps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, S) + a.shape), pp)
+    inds = jnp.array([0, 1])
+    W = jnp.arange(1.0, B * S + 1).reshape(B, S).astype(jnp.float32)
+    kern = SMCKernel(M_=16, data=sdata, seg_len=SEG)
+
+    def vg():
+        with pltpu.force_tpu_interpret_mode():
+            return jax.value_and_grad(
+                lambda p: (kern.loglik_batched(p, inds) * W).sum()
+            )(pps)
+
+    assert not pallas_smc.PIPELINE_V2  # default off
+    v0, g0 = vg()
+    jax.clear_caches()  # the flag is read at trace time
+    monkeypatch.setattr(pallas_smc, "PIPELINE_V2", True)
+    v1, g1 = vg()
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    for name, a, b in zip(pps._fields, g1, g0):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8, err_msg=name
+        )
+    jax.clear_caches()  # don't leak v2-traced graphs to later tests
