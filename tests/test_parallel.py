@@ -161,7 +161,8 @@ def test_sharded_step_collective_sizes():
     assert not heavy_cross, f"large cross-slice collective(s): {heavy_cross[:3]}"
 
 
-@pytest.mark.slow  # interpret-mode compile of the full pallas step (~1 min)
+@pytest.mark.heavy  # interpret-mode compile of the full pallas step (~1 min;
+# rebalanced from slow, r4 weak item 5 -- heavy runs in CI on every push)
 def test_sharded_pallas_step_collective_sizes():
     """The comms contract of test_sharded_step_collective_sizes, on the
     PRODUCTION backend (r4 verdict missing item 3): compile the meshed
@@ -328,7 +329,7 @@ def test_sharded_pallas_filter_matches_dense():
     np.testing.assert_allclose(np.asarray(pis), np.asarray(want), rtol=1e-4, atol=1e-7)
 
 
-@pytest.mark.slow  # another full step compile (~30 s)
+@pytest.mark.heavy  # another full step compile (~50 s; rebalanced from slow)
 def test_multislice_mesh_step_matches_unsharded(program):
     """Pod layout: slices outermost on the particle axis (n_slices=2).
 

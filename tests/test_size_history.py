@@ -227,7 +227,8 @@ def test_etjj_matches_mu_path(eta):
 REF_TV_BUG = "/root/reference/tests/fixtures/tv_bug.pkl"
 
 
-@pytest.mark.slow  # the 101-breakpoint quadrature cross-check takes ~1 min
+@pytest.mark.heavy  # the 101-breakpoint quadrature cross-check takes ~1 min
+# (rebalanced from slow, r4 weak item 5; heavy runs in CI on every push)
 @pytest.mark.skipif(not __import__("os").path.exists(REF_TV_BUG),
                     reason="reference fixture not present")
 def test_tv_bug_regression():

@@ -214,7 +214,7 @@ def test_smc_filter_grad_matches_xla(sdata, kern, f32_pp):
         np.testing.assert_allclose(a / denom, b / denom, atol=2e-5, err_msg=name)
 
 
-@CROSS
+@pytest.mark.heavy  # ~80 s; rebalanced from slow (r4 weak item 5)
 def test_log_density_batched_matches_per_particle(sdata, mcp):
     "log_density_batched == vmap(log_density) on the dense backend."
     from phlash_tpu.model import log_density, log_density_batched
@@ -330,7 +330,8 @@ def test_smc_m_generality(sdata, m, pattern):
         )
 
 
-@pytest.mark.slow  # second interpret-mode fwd+adjoint compile (~40 s)
+@pytest.mark.heavy  # second interpret-mode fwd+adjoint compile (~2 min);
+# the heavy lane runs in CI on every push (.github/workflows/test.yml)
 def test_pipeline_v2_schedule_matches_default(sdata, monkeypatch):
     """PHLASH_TPU_PIPELINE_V2 (the r5 cross-site pipelining experiment,
     docs/DESIGN.md "Roofline") is a pure schedule change: interleaved scan
