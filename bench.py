@@ -128,20 +128,34 @@ def main():
     # (bounded retries) so the number of record reflects a healthy window
     # rather than whatever the tunnel gives that minute (r4 verdict weak
     # item 2); the best window wins and the retry count is recorded.
+    # Two degraded-window signatures are retried (not just one): high per-rep
+    # spread, and a *consistently* slow window — the tunnel's post-wedge mode
+    # measured in r5 ran the same binary at 1/20th speed with low spread, so
+    # a spread test alone would have recorded it as "ok".  1000 Msites/s is
+    # ~0.55x the slowest healthy-window fwd+grad ever measured on this chip
+    # (1801, r2 tree re-run) — far above the degraded mode (~90), far below
+    # any healthy one.
+    DEGRADED_FLOOR = 1000.0
     jit_loss, jit_grad = jax.jit(loss), jax.jit(jax.grad(loss))
     retries = 0
     ours_fwd, fwd_reps = _measure(jit_loss, pps, B * S * L)
     ours, grad_reps = _measure(jit_grad, pps, B * S * L)
     spread = (max(grad_reps) - min(grad_reps)) / max(grad_reps)
-    while spread >= 0.10 and retries < 2:
+    while (spread >= 0.10 or ours < DEGRADED_FLOOR) and retries < 2:
         retries += 1
         time.sleep(60 * retries)
         f2, fr2 = _measure(jit_loss, pps, B * S * L)
         g2, gr2 = _measure(jit_grad, pps, B * S * L)
         s2 = (max(gr2) - min(gr2)) / max(gr2)
-        if s2 < spread:  # adopt the cleaner window wholesale
+        # adopt the cleaner window wholesale: higher throughput wins unless
+        # it comes with worse dispersion and the old window was healthy
+        if g2 > ours and (s2 < 0.10 or s2 < spread):
+            ours_fwd, fwd_reps, ours, grad_reps, spread = f2, fr2, g2, gr2, s2
+        elif s2 < spread and g2 >= DEGRADED_FLOOR:
             ours_fwd, fwd_reps, ours, grad_reps, spread = f2, fr2, g2, gr2, s2
     health = "ok" if spread < 0.10 else "noisy"
+    if ours < DEGRADED_FLOOR:
+        health = "degraded"
 
     # --- reference-equivalent scan kernel, same chip ---
     base_kern = PureXLAKernel(M=16, data=data[:, :L_base])
