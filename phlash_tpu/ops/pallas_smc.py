@@ -195,9 +195,31 @@ def _decode(code, chunk_shift):
     return lax.shift_right_logical(c, chunk_shift) & 3
 
 
-def _pick_tb(n_t: int, want: int) -> int:
+# Mosaic's scoped-VMEM stack limit is 16 MiB on v5e; a kernel whose scratch +
+# double-buffered streamed blocks exceed it fails AT COMPILE TIME ("Scoped
+# allocation ... exceeded scoped vmem limit", observed at M=64 x tb=4 at the
+# production shape: 17.44M > 16.00M in the backward).  Budget kept below the
+# limit because the row estimate is approximate (it OVERcounts the observed
+# backward case 19.9M-est vs 17.44M-actual, so 14 MiB est keeps real usage
+# comfortably under 16).
+_VMEM_TB_BUDGET = 14 * 2**20
+
+
+def _pick_tb_vmem(n_t: int, want: int, m: int, scratch_rows: float,
+                  stream_rows: float, io_rows: float) -> int:
+    """Largest tile block that divides n_t AND fits the scoped-VMEM budget.
+
+    Rows are counted in (tb, m, 128) block units: `scratch_rows` VMEM scratch
+    allocations, `stream_rows` grid-streamed blocks (double-buffered by the
+    pipeline, so pass 2x the block rows), `io_rows` parameter/output blocks
+    (also double-buffered).  At M <= 32 every production shape stays at the
+    measured-optimal tb=4; M=64 at the production shape picks tb=2.
+    """
     for tb in (want, 4, 2, 1):
-        if tb <= want and n_t % tb == 0:
+        if tb > want or n_t % tb:
+            continue
+        est = tb * m * LANES * 4 * (scratch_rows + stream_rows + io_rows)
+        if tb == 1 or est <= _VMEM_TB_BUDGET:
             return tb
     return 1
 
@@ -306,7 +328,12 @@ def forward_structured(params, pi, shifts, obs_packed, seg_len: int = DEFAULT_SE
     assert m in SUPPORTED_M, f"state count {m} not in {SUPPORTED_M}"
     n_seg = obs_packed.shape[0]
     n_per = seg_len // NORM_EVERY
-    tb = _pick_tb(n_t, FWD_TILE_BLOCK)
+    tb = _pick_tb_vmem(
+        n_t, FWD_TILE_BLOCK, m,
+        scratch_rows=1 + (n_per if with_residuals else 0),
+        stream_rows=2 * n_per if with_residuals else 0,
+        io_rows=20,
+    )
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     p_spec = pl.BlockSpec((tb, m, LANES), tile3, memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((tb, 1, shifts.shape[-1]), tile3, memory_space=pltpu.VMEM)
@@ -471,7 +498,12 @@ def backward_structured(params, shifts, obs_packed, pstates, gbar, abar0, seg_le
     assert m in SUPPORTED_M, f"state count {m} not in {SUPPORTED_M}"
     n_seg = pstates.shape[0]
     n_per = seg_len // NORM_EVERY
-    tb = _pick_tb(n_t, BWD_TILE_BLOCK)
+    tb = _pick_tb_vmem(
+        n_t, BWD_TILE_BLOCK, m,
+        scratch_rows=1 + 4 * NORM_EVERY + n_per,
+        stream_rows=2 * n_per,
+        io_rows=30,
+    )
     tile3 = lambda g, s: (_i32(g), _Z, _Z)  # noqa: E731
     rev = lambda s: _np.int32(n_seg - 1) - _i32(s)  # noqa: E731
     p_spec = pl.BlockSpec((tb, m, LANES), tile3, memory_space=pltpu.VMEM)

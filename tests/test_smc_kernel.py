@@ -370,3 +370,25 @@ def test_pipeline_v2_schedule_matches_default(sdata, monkeypatch):
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8, err_msg=name
         )
     jax.clear_caches()  # don't leak v2-traced graphs to later tests
+
+
+def test_tile_block_respects_vmem_budget():
+    """Tile-block choice scales down with M so the backward's scratch +
+    double-buffered streamed blocks stay inside Mosaic's 16 MiB scoped-VMEM
+    stack (M=64 x tb=4 at the production shape was observed to fail AT
+    COMPILE TIME with 17.44M > 16.00M; regression for that report)."""
+    from phlash_tpu.ops.pallas_smc import NORM_EVERY, _VMEM_TB_BUDGET, _pick_tb_vmem
+
+    n_per = 256 // NORM_EVERY  # production seg_len
+    bwd = dict(scratch_rows=1 + 4 * NORM_EVERY + n_per,
+               stream_rows=2 * n_per, io_rows=30)
+    # production M=16/M=32 keep the measured-optimal tb=4
+    assert _pick_tb_vmem(20, 4, 16, **bwd) == 4
+    assert _pick_tb_vmem(20, 4, 32, **bwd) == 4
+    # M=64 must drop to tb=2 (tb=4 exceeds the scoped limit on hardware)
+    assert _pick_tb_vmem(20, 4, 64, **bwd) == 2
+    # the estimate at the chosen M=64 block stays under budget
+    est = 2 * 64 * 128 * 4 * (bwd["scratch_rows"] + bwd["stream_rows"] + 30)
+    assert est <= _VMEM_TB_BUDGET
+    # divisibility still wins: n_t=5 can only take tb=1
+    assert _pick_tb_vmem(5, 4, 16, **bwd) == 1
