@@ -53,3 +53,29 @@ def test_svgd_pytree_particles():
         state = step(state)
     assert abs(float(state.particles["a"].mean())) < 0.3
     assert abs(float(state.particles["b"].mean()) - 1.0) < 0.3
+
+
+def test_offdiag_median_select_bit_identical_to_sort():
+    """The TPU fast path's exact bitwise order-statistic selection must be
+    bit-identical to the sort-based strict-lower-triangle median on every
+    cloud shape, including heavy ties and fully-coincident particles (the
+    production gate only enables it on TPU; the algorithm is backend-
+    agnostic, so it is pinned here on CPU)."""
+    from phlash_tpu.svgd import _offdiag_median_select
+
+    for trial in range(6):
+        rng = np.random.default_rng(trial)
+        x = rng.normal(size=(61, 7)).astype(np.float32)
+        if trial == 3:
+            x[10:40] = x[0]  # massive duplicates
+        if trial == 4:
+            x = np.round(x * 4) / 4  # quantized -> many tied distances
+        if trial == 5:
+            x[:] = 0.0  # all particles coincide -> median 0
+        P = x.shape[0]
+        d = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)).astype(np.float32)
+        sel = float(_offdiag_median_select(jnp.asarray(d), P))
+        tri = np.sort(d[np.tril_indices(P, k=-1)])
+        m = len(tri)
+        want = np.float32(0.5 * (np.float32(tri[(m - 1) // 2]) + np.float32(tri[m // 2])))
+        assert np.float32(sel).tobytes() == want.tobytes(), (trial, sel, want)
